@@ -1,0 +1,342 @@
+"""Default configuration tree.
+
+Mirrors the key names of the reference config systems so that existing
+dataset/model YAMLs drive this framework unchanged:
+
+* few-shot keys: reference ``few_shot/vision_benchmark/config/default.py:7-263``
+* full-shot keys: reference ``full_shot/main/lib/config/default.py``
+
+TPU-specific additions live under ``TPU.*`` (mesh shape, precision, remat) —
+the analog of the reference's CUDNN/AMP/DEEPSPEED groups.
+"""
+
+from __future__ import annotations
+
+import os.path as op
+
+from .node import CfgNode as CN
+
+_C = CN(new_allowed=False)
+
+_C["BASE"] = [""]
+_C["NAME"] = ""
+_C["DATA_DIR"] = ""
+_C["DIST_BACKEND"] = "ici"  # reference: 'nccl' (few_shot config/default.py:12)
+_C["GPUS"] = (0,)
+_C["MULTIPROCESSING_DISTRIBUTED"] = True
+_C["OUTPUT_DIR"] = "output"
+_C["PIN_MEMORY"] = True
+_C["PRINT_FREQ"] = 20
+_C["RANK"] = 0
+_C["VERBOSE"] = True
+_C["WORKERS"] = 4
+_C["USE_DEEPSPEED"] = False
+
+_C["AMP"] = CN({"ENABLED": False, "MEMORY_FORMAT": "nchw"})
+
+# TPU execution knobs (new; replaces CUDNN group semantics).
+_C["TPU"] = CN(
+    {
+        "MESH": CN({"DATA": -1, "MODEL": 1}, new_allowed=True),
+        "COMPUTE_DTYPE": "bfloat16",
+        "PARAM_DTYPE": "float32",
+        "REMAT": True,  # rematerialize frozen-backbone activations
+        "FLASH_ATTENTION": True,  # Pallas kernel on TPU, jnp fallback elsewhere
+        "DONATE": True,
+    },
+    new_allowed=True,
+)
+
+# kept so reference YAMLs with a CUDNN group still parse
+_C["CUDNN"] = CN(
+    {"BENCHMARK": True, "DETERMINISTIC": False, "ENABLED": True}
+)
+
+_C["MODEL"] = CN(
+    {
+        "NAME": "clip_vit",
+        "INIT_WEIGHTS": True,
+        "PRETRAINED": "",
+        "NUM_PARAMS_IN_M": 0.0,
+        "AUTHOR": "",
+        "PRETRAINED_DATA": "",
+        "CREATION_TIME": "",
+        "CLIP_FP32": False,
+        "PRETRAINED_LAYERS": ["*"],
+        "NUM_CLASSES": 1000,
+        "SPEC": CN(
+            {
+                "EMBED_DIM": 512,
+                "VISION": CN(
+                    {
+                        "MODEL": "vit",
+                        "PATCH_SIZE": 32,
+                        "WIDTH": 768,
+                        "LAYERS": 12,
+                        "HEADS": 12,
+                    },
+                    new_allowed=True,
+                ),
+                "TEXT": CN(
+                    {
+                        "TOKENIZER": "clip",
+                        "CONTEXT_LENGTH": 77,
+                        "VOCAB_SIZE": 49408,
+                        "WIDTH": 512,
+                        "HEADS": 8,
+                        "LAYERS": 12,
+                    },
+                    new_allowed=True,
+                ),
+            },
+            new_allowed=True,
+        ),
+    },
+    new_allowed=True,
+)
+
+# PEFT method group (new; replaces the reference's one-file-per-method fan-out,
+# SURVEY.md §2.2).  METHOD selects injection points; the rest are the method
+# hyper-parameters hard-coded across the reference model files.
+_C["PEFT"] = CN(
+    {
+        "METHOD": "none",
+        # lora (reference lora_model.py:459-464)
+        "LORA_RANK": 4,
+        "LORA_ALPHA": 128.0,
+        "LORA_TARGETS": ["q", "v"],
+        "LORA_POST_SCALE_Q": True,  # parity quirk: lora_model.py:720-734
+        # bottleneck adapter (reference adapter_model.py:204-296)
+        "ADAPTER_DIM": 64,
+        "ADAPTER_ACT": "relu",
+        "ADAPTER_LAYERS": [],  # AdapterDrop: empty = all layers
+        # compacter (reference compacter_model.py:358-440)
+        "COMPACTER_REDUCTION": 12,
+        "COMPACTER_PHM_DIM_DOWN": 32,
+        "COMPACTER_PHM_DIM_UP": 4,
+        "COMPACTER_ACT": "gelu_new",
+        # kadaptation (reference kadaptation.py:117-244)
+        "PHM_DIM": 768,
+        "PHM_RANK": 1,
+        # rpb (reference RPB.py:105-131)
+        "RPB_NDIM": 7,
+        # vpt prompt tokens (north-star extension; not in reference)
+        "PROMPT_TOKENS": 0,
+        "PROMPT_DEEP": False,
+        # transformer probe (reference transformer_classifier.py:338-347)
+        "EXTRA_BLOCK": False,
+        # intrinsic dimension (reference intrinsic/fastfood.py, SAID)
+        "INTRINSIC_DIM": 0,
+        "INTRINSIC_PROJECTION": "fastfood",  # or 'dense'
+        "INTRINSIC_SAID": False,
+        "INTRINSIC_LAYER": -1,  # -1 = whole trainable set
+        "INTRINSIC_LAYER_TYPE": "mlp",  # 'attention'|'mlp'|'adapter'
+        # trainable-mask override (regex on '/'-joined param path)
+        "TRAINABLE_REGEX": "",
+        "TRAIN_HEAD": True,
+    },
+    new_allowed=True,
+)
+
+_C["KNOWLEDGE"] = CN(
+    {
+        "WORDNET": CN(
+            {"USE_HIERARCHY": False, "USE_DEFINITION": False},
+            new_allowed=True,
+        ),
+        "WIKITIONARY": CN(
+            {
+                "USE_DEFINITION": False,
+                "WIKI_DICT_PATH": "resources/knowledge/external",
+                "PRE_EXTRACTED": True,
+            },
+            new_allowed=True,
+        ),
+        "GPT3": CN(
+            {"USE_GPT3": False, "GPT3_DICT_PATH": "resources/knowledge/gpt3"},
+            new_allowed=True,
+        ),
+        "AGGREGATION": CN(
+            {"MEHTOD": "WIKI_THEN_GPT3", "NUM_GPT3_ITEMS": 1},
+            new_allowed=True,
+        ),
+    },
+    new_allowed=True,
+)
+
+_C["LOSS"] = CN(
+    {
+        "LABEL_SMOOTHING": 0.0,
+        "LOSS": "softmax",
+        "FOCAL": CN({"NORMALIZE": True, "ALPHA": 1.0, "GAMMA": 0.5}),
+    }
+)
+
+_C["DATASET"] = CN(
+    {
+        "ROOT": "",
+        "DATASET": "imagenet",
+        "IMAGE_SIZE": (224,),
+        "CENTER_CROP": True,
+        "NUM_CLASSES": 0,
+        "TRAIN_SET": "train",
+        "VAL_SET": "",
+        "TEST_SET": "val",
+        "DATA_FORMAT": "jpg",
+        "LABELMAP": "",
+        "TRAIN_TSV_LIST": [],
+        "TEST_TSV_LIST": [],
+        "NUM_SAMPLES_PER_CLASS": -1,
+        "RANDOM_SEED_SAMPLING": 0,
+        "MERGE_TRAIN_VAL_FINAL_RUN": True,
+        "TARGET_SIZE": -1,
+    },
+    new_allowed=True,
+)
+
+_C["INPUT"] = CN(
+    {"MEAN": [0.485, 0.456, 0.406], "STD": [0.229, 0.224, 0.225]}
+)
+
+_C["AUG"] = CN(
+    {
+        "RANDOM_CENTER_CROP": False,
+        "SCALE": (0.08, 1.0),
+        "RATIO": (3.0 / 4.0, 4.0 / 3.0),
+        "COLOR_JITTER": [0.4, 0.4, 0.4, 0.1, 0.0],
+        "GRAY_SCALE": 0.0,
+        "GAUSSIAN_BLUR": 0.0,
+        "DROPBLOCK_LAYERS": [3, 4],
+        "DROPBLOCK_KEEP_PROB": 1.0,
+        "DROPBLOCK_BLOCK_SIZE": 7,
+        "MIXUP_PROB": 0.0,
+        "MIXUP": 0.0,
+        "MIXCUT": 0.0,
+        "MIXCUT_MINMAX": [],
+        "MIXUP_SWITCH_PROB": 0.5,
+        "MIXUP_MODE": "batch",
+        "MIXCUT_AND_MIXUP": False,
+        "TIMM_AUG": CN(
+            {"USE_LOADER": False, "USE_TRANSFORM": False}, new_allowed=True
+        ),
+    }
+)
+
+_C["SWA"] = CN(
+    {
+        "ENABLED": False,
+        "DEVICE": "cpu",
+        "BEGIN_EPOCH": -1,
+        "LR_RATIO": 0.5,
+        "ANNEAL_EPOCHS": 10,
+        "ANNEAL_STRATEGY": "cos",
+        "FROZEN_BN": False,
+    }
+)
+
+_C["TRAIN"] = CN(
+    {
+        "AUTO_RESUME": True,
+        "CHECKPOINT": "",
+        "LR_SCHEDULER": CN({"METHOD": "step"}, new_allowed=True),
+        "SCHEDULE": [],
+        "LR": 0.001,
+        "SEARCH_WD_LOG_LOWER": -6,
+        "SEARCH_WD_LOG_UPPER": 6,
+        "FREEZE_IMAGE_BACKBONE": False,
+        "TWO_LR": False,
+        "INIT_HEAD_WITH_TEXT_ENCODER": False,
+        "INIT_HEAD_WITH_LOGIT_SCALE": False,
+        "MERGE_ENCODER_AND_HEAD_PROJ": False,
+        "NORMALIZE_VISUAL_FEATURE": False,
+        "SEARCH_RESULT_ON_LAST_EPOCH": False,
+        "OPTIMIZER": "sgd",
+        "OPTIMIZER_ARGS": CN(new_allowed=True),
+        "MOMENTUM": 0.9,
+        "WD": 0.0001,
+        "WITHOUT_WD_LIST": [],
+        "NESTEROV": True,
+        "GAMMA1": 0.99,
+        "GAMMA2": 0.0,
+        "BEGIN_EPOCH": 0,
+        "END_EPOCH": 100,
+        "EXTRA_FINAL_TRAIN_EPOCH": 0,
+        "EMULATE_ZERO_SHOT": False,
+        "IMAGE_SIZE": [224, 224],
+        "BATCH_SIZE_PER_GPU": 32,
+        "SHUFFLE": True,
+        "EMA_DECAY": 0.0,
+        "EVAL_BEGIN_EPOCH": 0,
+        "LARC": False,
+        "DETECT_ANOMALY": False,
+        "CLIP_GRAD_NORM": 0.0,
+        "LOADER": "default",
+        "SAMPLER": "default",
+        "NUM_SAMPLES_CLASS": "average",
+        "SAVE_ALL_MODELS": False,
+        "SEARCH_WD_POINTS": 97,
+        "SEARCH_WD_INIT_POINTS": 7,
+        "VMAP_SWEEP": True,  # vectorize sweep cells over the batch dim (TPU win)
+    },
+    new_allowed=True,
+)
+
+_C["TEST"] = CN(
+    {
+        "BATCH_SIZE_PER_GPU": 32,
+        "CENTER_CROP": True,
+        "IMAGE_SIZE": [224, 224],
+        "INTERPOLATION": 2,
+        "MODEL_FILE": "",
+        "REAL_LABELS": False,
+        "VALID_LABELS": "",
+        "METRIC": "accuracy",
+    }
+)
+
+_C["FINETUNE"] = CN(
+    {
+        "FINETUNE": False,
+        "USE_TRAIN_AUG": False,
+        "BASE_LR": 0.003,
+        "BATCH_SIZE": 512,
+        "EVAL_EVERY": 3000,
+        "FROZEN_LAYERS": [],
+    }
+)
+
+_C["DEBUG"] = CN({"DEBUG": False})
+_C["DEEPSPEED"] = CN(new_allowed=True)
+
+
+def get_default_config() -> CN:
+    return _C.clone()
+
+
+def update_config(config: CN, args) -> None:
+    """Merge ``args.cfg`` (with BASE inheritance) + ``args.opts`` remainder.
+
+    Reproduces reference update_config (few_shot config/default.py:243-263)
+    including the LR x world-size scaling (:248), with jax.process_count()
+    standing in for torch.distributed world size.
+    """
+    config.defrost()
+    config.merge_from_file(args.cfg)
+    if getattr(args, "opts", None):
+        config.merge_from_list(args.opts)
+
+    world_size = 1
+    try:  # pragma: no cover - only >1 on multi-host
+        import jax
+
+        world_size = jax.process_count()
+    except Exception:
+        pass
+    config.TRAIN.LR *= world_size
+
+    file_name, _ = op.splitext(op.basename(args.cfg))
+    config.NAME = file_name + config.NAME
+    aug = config.AUG
+    if aug.MIXUP > 0.0 or aug.MIXCUT > 0.0 or aug.MIXCUT_MINMAX:
+        aug.MIXUP_PROB = 1.0
+    config.freeze()

@@ -1,0 +1,276 @@
+"""The lr x wd hyper-parameter sweep.
+
+Reference protocol (evaluation/adapter_tuning_clip.py, duplicated in every
+method file — written once here):
+
+* outer: lr in logspace(-6, -1, 6)                    (:406-426)
+* inner: wd in logspace(lo, hi, 97); evaluate the 7 coarse points that lie
+  on logspace(lo, hi, 7), take the peak, then binary-refine with spans
+  8, 4, 2, 1 around the peak                          (:173-225)
+* each cell trains a FRESH model for END_EPOCH epochs with step-decay lr
+  and reports best (or last) val accuracy             (:228-280)
+* failures score 0 (reference: try/except around cells; here: NaN -> 0)
+* final run: merge train+val, add EXTRA_FINAL_TRAIN_EPOCH, train once with
+  the winning (lr, wd), evaluate on test              (:429-481)
+
+TPU-native twist: cells are *vmapped*.  PEFT state is tiny, so K cells
+train simultaneously as one batched program — the frozen backbone forward
+is shared work per cell but runs at K-fold arithmetic intensity, which is
+where a 197-token ViT otherwise underutilizes the MXU.  Set
+``TRAIN.VMAP_SWEEP=False`` for the sequential reference behavior.
+
+Known reference bug NOT reproduced: the refine loop trains every probe
+with the *left* candidate's wd (``config.TRAIN.WD = l2_lambda_list[left]``
+at adapter_tuning_clip.py:205 even when evaluating ``right``); here each
+candidate trains with its own wd.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .train import (
+    ArrayTask,
+    PerExampleCriterion,
+    TrainCellState,
+    init_cell_state,
+    make_epoch_fn,
+    make_eval_fn,
+    masked_accuracy,
+    step_decay_lr,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class SweepEngine:
+    """Drives the sweep for one (model, task) pair.
+
+    Args:
+      apply_fn: ``lambda variables, x, train: logits``.
+      init_trainable: ``lambda rng: trainable pytree`` (fresh per cell,
+        mirroring the reference's fresh ``Classifier(config, 0)`` per cell).
+      frozen: frozen param pytree (None-holes where trainable).
+      criterion: per-example loss.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        apply_fn,
+        init_trainable: Callable,
+        frozen,
+        criterion: PerExampleCriterion,
+        batch_size: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.apply_fn = apply_fn
+        self.init_trainable = init_trainable
+        self.frozen = frozen
+        self.criterion = criterion
+        self.batch_size = batch_size or int(cfg.TRAIN.BATCH_SIZE_PER_GPU)
+        self.schedule = tuple(int(m) for m in cfg.TRAIN.SCHEDULE)
+
+        epoch_fn = make_epoch_fn(
+            apply_fn,
+            criterion,
+            self.batch_size,
+            momentum=float(cfg.TRAIN.MOMENTUM),
+            nesterov=bool(cfg.TRAIN.NESTEROV),
+        )
+        eval_fn = make_eval_fn(apply_fn, self.batch_size)
+        # vmap over cells: state/lr/wd are per-cell, data+frozen shared.
+        self._epoch_cells = jax.jit(
+            jax.vmap(
+                epoch_fn, in_axes=(0, None, None, None, None, None, 0, 0)
+            )
+        )
+        self._eval_cells = jax.jit(
+            jax.vmap(eval_fn, in_axes=(0, None, None))
+        )
+        self._epoch_one = jax.jit(epoch_fn)
+        self._eval_one = jax.jit(eval_fn)
+
+    # -- cell training ------------------------------------------------------
+
+    def train_cells(
+        self,
+        lrs: Sequence[float],
+        wds: Sequence[float],
+        task: ArrayTask,
+        end_epoch: int,
+        seed: int = 0,
+        eval_on: str = "val",
+    ) -> np.ndarray:
+        """Train len(lrs) cells simultaneously; returns val scores (%)."""
+        k = len(lrs)
+        assert k == len(wds)
+        rngs = jax.random.split(jax.random.PRNGKey(seed), k)
+        trainables = jax.vmap(self.init_trainable)(rngs)
+        states = jax.vmap(init_cell_state)(trainables)
+
+        n = task.x_train.shape[0]
+        lrs_arr = jnp.asarray(lrs, jnp.float32)
+        wds_arr = jnp.asarray(wds, jnp.float32)
+        best = jnp.zeros((k,), jnp.float32)
+        rng_np = np.random.RandomState(seed)
+        last = jnp.zeros((k,), jnp.float32)
+        for epoch in range(end_epoch):
+            lr_e = jax.vmap(
+                lambda lr: step_decay_lr(lr, epoch, self.schedule)
+            )(lrs_arr)
+            perm = jnp.asarray(rng_np.permutation(n))
+            states, _ = self._epoch_cells(
+                states,
+                self.frozen,
+                task.x_train,
+                task.y_train,
+                task.valid_train,
+                perm,
+                lr_e,
+                wds_arr,
+            )
+            logits = self._eval_cells(
+                states.trainable, self.frozen, task.x_val
+            )
+            accs = jax.vmap(masked_accuracy, in_axes=(0, None, None))(
+                logits, task.y_val, task.valid_val
+            )
+            last = accs
+            best = jnp.maximum(best, accs)
+
+        scores = (
+            last
+            if bool(self.cfg.TRAIN.SEARCH_RESULT_ON_LAST_EPOCH)
+            else best
+        )
+        scores = jnp.where(jnp.isfinite(scores), scores, 0.0)
+        return np.asarray(scores)
+
+    def train_final(
+        self,
+        lr: float,
+        wd: float,
+        task: ArrayTask,
+        end_epoch: int,
+        seed: int = 0,
+    ) -> Tuple[TrainCellState, float]:
+        """Single-cell training; returns (state, best val acc)."""
+        trainable = self.init_trainable(jax.random.PRNGKey(seed))
+        state = init_cell_state(trainable)
+        best = 0.0
+        best_state = state
+        n = task.x_train.shape[0]
+        rng_np = np.random.RandomState(seed)
+        for epoch in range(end_epoch):
+            lr_e = step_decay_lr(lr, epoch, self.schedule)
+            perm = jnp.asarray(rng_np.permutation(n))
+            state, _ = self._epoch_one(
+                state,
+                self.frozen,
+                task.x_train,
+                task.y_train,
+                task.valid_train,
+                perm,
+                lr_e,
+                jnp.asarray(wd, jnp.float32),
+            )
+            logits = self._eval_one(
+                state.trainable, self.frozen, task.x_val
+            )
+            acc = float(
+                masked_accuracy(logits, task.y_val, task.valid_val)
+            )
+            if acc >= best:
+                best, best_state = acc, state
+        return best_state, best
+
+    # -- the search ---------------------------------------------------------
+
+    def sweep_wd(
+        self, lr: float, task: ArrayTask, end_epoch: int
+    ) -> Tuple[float, float]:
+        """97-point wd grid: 7 coarse + binary refinement
+        (hyperparameter_sweep, adapter_tuning_clip.py:173-225)."""
+        cfg = self.cfg
+        lo = float(cfg.TRAIN.SEARCH_WD_LOG_LOWER)
+        hi = float(cfg.TRAIN.SEARCH_WD_LOG_UPPER)
+        grid = np.logspace(lo, hi, num=int(cfg.TRAIN.SEARCH_WD_POINTS))
+        coarse_vals = set(
+            np.logspace(lo, hi, num=int(cfg.TRAIN.SEARCH_WD_INIT_POINTS))
+        )
+        init_idx = [i for i, v in enumerate(grid) if v in coarse_vals]
+
+        scores = {}
+
+        def probe(idxs: List[int]):
+            new = [i for i in idxs if i not in scores]
+            if not new:
+                return
+            if bool(cfg.TRAIN.VMAP_SWEEP) and len(new) > 1:
+                accs = self.train_cells(
+                    [lr] * len(new),
+                    [float(grid[i]) for i in new],
+                    task,
+                    end_epoch,
+                )
+                for i, a in zip(new, accs):
+                    scores[i] = float(a)
+            else:
+                for i in new:
+                    accs = self.train_cells(
+                        [lr], [float(grid[i])], task, end_epoch
+                    )
+                    scores[i] = float(accs[0])
+            for i in new:
+                logger.info(
+                    "=> lr %g wd %g: score %.3f", lr, grid[i], scores[i]
+                )
+
+        probe(init_idx)
+        peak = max(scores, key=scores.get)
+        span = 8
+        while span > 0:
+            left = max(peak - span, 0)
+            right = min(peak + span, len(grid) - 1)
+            probe([i for i in (left, right) if i != peak])
+            peak = max(scores, key=scores.get)
+            span //= 2
+        logger.info(
+            "=> Learning rate %g: best l2 lambda %g (score %.3f)",
+            lr,
+            grid[peak],
+            scores[peak],
+        )
+        return float(grid[peak]), scores[peak]
+
+    def sweep(
+        self,
+        task: ArrayTask,
+        end_epoch: int,
+        lr_grid: Optional[Sequence[float]] = None,
+    ) -> Tuple[float, float, float]:
+        """Full lr x wd search (hyperparameter_sweep_lr, :406-426).
+        Returns (best_lr, best_wd, best_score)."""
+        t0 = time.time()
+        lrs = list(lr_grid or np.logspace(-6, -1, num=6))
+        best = (0.0, 0.0, -1.0)
+        for lr in lrs:
+            wd, score = self.sweep_wd(float(lr), task, end_epoch)
+            logger.info("=> Learning rate: %g, best_score %.3f", lr, score)
+            if score > best[2]:
+                best = (float(lr), wd, score)
+        logger.info(
+            "Hyper parameter tuning result: learning rate %g, l2_lambda %g "
+            "(%.2fs)",
+            best[0],
+            best[1],
+            time.time() - t0,
+        )
+        return best

@@ -1,0 +1,104 @@
+"""Classification heads over a (possibly frozen) backbone.
+
+Reference semantics reproduced:
+
+* linear probe head = BatchNorm1d(affine=False) -> Linear
+  (evaluation/linear_classifier.py:38-55).  The BN here is a feature
+  standardizer: batch statistics during training, running statistics at
+  eval, no learnable affine.
+* full fine-tune / PEFT head = Linear on the visual feature, with optional
+  L2 normalization of the feature (full_model_finetune.py:173-195) and
+  head init from text-encoder zero-shot weights (:105-135; done in
+  ``engine.head_init``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class FeatureBatchNorm(nn.Module):
+    """BatchNorm1d(affine=False) over feature vectors (B, D)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, use_running_average: bool = True
+    ) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_bias=False,
+            use_scale=False,
+            name="bn",
+            dtype=self.dtype,
+        )(x)
+
+
+class ClassifierHead(nn.Module):
+    """channel_bn (optional) -> Linear head."""
+
+    num_classes: int
+    use_bn: bool = False
+    normalize_input: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: jax.Array, train: bool = False
+    ) -> jax.Array:
+        x = feats.astype(self.dtype)
+        if self.normalize_input:
+            x = x / jnp.clip(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
+            )
+        if self.use_bn:
+            x = FeatureBatchNorm(name="channel_bn", dtype=self.dtype)(
+                x, use_running_average=not train
+            )
+        return nn.Dense(
+            self.num_classes,
+            name="head",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class ImageClassifier(nn.Module):
+    """backbone -> head; the flagship PEFT fine-tuning model.
+
+    ``backbone`` is any module returning pooled features (VisionTransformer
+    or CLIP.visual via a bound submodule).
+    """
+
+    backbone: nn.Module
+    num_classes: int = 10
+    use_bn: bool = False
+    normalize_visual: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jax.Array, train: bool = False
+    ) -> jax.Array:
+        feats = self.backbone(images, not train)
+        return ClassifierHead(
+            self.num_classes,
+            use_bn=self.use_bn,
+            normalize_input=self.normalize_visual,
+            name="classifier",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(feats, train=train)

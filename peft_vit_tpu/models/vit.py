@@ -1,0 +1,189 @@
+"""The one Vision Transformer.
+
+Serves both backbone families of the reference with a single implementation:
+
+* CLIP visual tower (reference evaluation/adapter_model.py:345-418 and
+  siblings): conv1 patch embed (no bias), class_embedding, positional
+  embedding, ln_pre, QuickGELU blocks, ln_post on the cls token, projection.
+* supervised timm-style ViT (reference evaluation/lora.py / full_shot
+  lib/models/cls_vit.py:57-443): biased patch embed, GELU blocks, final
+  norm; the classification head lives in ``models.classifier``.
+
+PEFT injection is entirely via ``peft.PEFTSpec`` (see models/layers.py).
+Extra capabilities beyond the per-block hooks:
+
+* VPT prompt tokens (shallow/deep) — north-star extension (SURVEY §2.2 note).
+* ``extra_block`` — the reference "transformer probe": a (depth+1)-th
+  trainable block (transformer_classifier.py:338-347), here named
+  ``blocks_{layers}`` so the reference's ``'blocks.12'`` filter maps to
+  ``blocks_12``.
+
+Inputs are NHWC (TPU-native layout).  Checkpoint converters transpose from
+torch NCHW (models/convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..peft.spec import PEFTSpec
+from .layers import Block, LayerNorm
+
+Dtype = Any
+
+
+class VisionTransformer(nn.Module):
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    style: str = "clip"  # 'clip' | 'timm'
+    output_dim: Optional[int] = None  # CLIP projection dim; None = width
+    spec: PEFTSpec = PEFTSpec()
+    use_flash: bool = True
+    remat: bool = False
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        return_tokens: bool = False,
+    ):
+        b = x.shape[0]
+        g = self.grid_size
+        w = self.width
+        spec = self.spec
+        act = "quick_gelu" if self.style == "clip" else "gelu"
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            w,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=self.style != "clip",
+            padding="VALID",
+            name="conv1",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = x.reshape(b, g * g, w)
+
+        cls_init = (
+            nn.initializers.normal(stddev=w**-0.5)
+            if self.style == "clip"
+            else nn.initializers.zeros
+        )
+        class_embedding = self.param(
+            "class_embedding", cls_init, (w,), self.param_dtype
+        )
+        cls = jnp.broadcast_to(
+            class_embedding.astype(self.dtype), (b, 1, w)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+
+        pos_init = (
+            nn.initializers.normal(stddev=0.01)
+            if self.style == "clip"
+            else nn.initializers.normal(stddev=0.02)
+        )
+        pos = self.param(
+            "positional_embedding",
+            pos_init,
+            (g * g + 1, w),
+            self.param_dtype,
+        )
+        x = x + pos.astype(self.dtype)[None]
+
+        n_prefix = 1
+        num_prompts = spec.prompt_tokens
+        if num_prompts > 0:
+            # VPT: prompts sit between cls and patch tokens; they carry no
+            # positional embedding (VPT, Jia et al. 2022).
+            prompts = self.param(
+                "prompt_embeddings",
+                nn.initializers.normal(stddev=0.02),
+                (num_prompts, w),
+                self.param_dtype,
+            )
+            pr = jnp.broadcast_to(
+                prompts.astype(self.dtype), (b, num_prompts, w)
+            )
+            x = jnp.concatenate([x[:, :1], pr, x[:, 1:]], axis=1)
+            n_prefix = 1 + num_prompts
+
+        if self.style == "clip":
+            x = LayerNorm(name="ln_pre", param_dtype=self.param_dtype)(x)
+
+        deep_prompts = None
+        if num_prompts > 0 and spec.prompt_deep and self.layers > 1:
+            deep_prompts = self.param(
+                "deep_prompt_embeddings",
+                nn.initializers.normal(stddev=0.02),
+                (self.layers - 1, num_prompts, w),
+                self.param_dtype,
+            )
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,))
+
+        total_blocks = self.layers + (1 if spec.extra_block else 0)
+        dpr = np.linspace(0.0, self.drop_path_rate, max(total_blocks, 1))
+        for i in range(total_blocks):
+            if deep_prompts is not None and 0 < i < self.layers:
+                x = x.at[:, 1 : 1 + num_prompts, :].set(
+                    jnp.broadcast_to(
+                        deep_prompts[i - 1].astype(self.dtype),
+                        (b, num_prompts, w),
+                    )
+                )
+            x = block_cls(
+                w,
+                self.heads,
+                mlp_ratio=self.mlp_ratio,
+                act=act,
+                spec=spec,
+                layer_idx=i,
+                grid_size=g,
+                n_prefix=n_prefix,
+                use_flash=self.use_flash,
+                drop_path=float(dpr[i]),
+                name=f"blocks_{i}",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x, deterministic)
+
+        if self.style == "clip":
+            pooled = LayerNorm(name="ln_post", param_dtype=self.param_dtype)(
+                x[:, 0, :]
+            )
+            if self.output_dim is not None:
+                proj = self.param(
+                    "proj",
+                    nn.initializers.normal(stddev=w**-0.5),
+                    (w, self.output_dim),
+                    self.param_dtype,
+                )
+                pooled = pooled @ proj.astype(self.dtype)
+        else:
+            x = LayerNorm(name="ln_post", param_dtype=self.param_dtype)(x)
+            pooled = x[:, 0, :]
+
+        if return_tokens:
+            return pooled, x
+        return pooled

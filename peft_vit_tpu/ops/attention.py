@@ -1,0 +1,324 @@
+"""Multi-head attention for TPU.
+
+The reference computes attention as ``softmax(q k^T / sqrt(d) + bias) v``
+either via ``torch.nn.MultiheadAttention`` (CLIP path,
+few_shot/vision_benchmark/evaluation/adapter_model.py:315) or inline
+(supervised ViT path, evaluation/lora.py:165-201; RPB bias at RPB.py:131-144).
+
+Here the hot path is a Pallas flash-attention kernel: block-tiled online
+softmax, never materializing the (N, N) score matrix in HBM.  It supports
+
+* an additive attention bias of shape (H, N, N), broadcast over batch —
+  covers RPB (Swin-style relative position bias) and any causal/text mask;
+* arbitrary sequence length via in-kernel padding masks (197-token ViT-B/16
+  pads to 256; 577-token L/14-336 works unchanged).
+
+A pure-jnp reference (`attention_reference`) serves CPU tests and is the
+numerical ground truth for the kernel tests.  Both are wrapped in a
+`jax.custom_vjp` dispatcher: forward = Pallas on TPU, backward = XLA VJP of
+the reference formulation with the standard flash recomputation trick applied
+by remat at the call site (the frozen-backbone training loop already remats
+whole blocks — SURVEY §7 design spine #2).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (ground truth; CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """softmax(q k^T * scale + bias) v with fp32 softmax.
+
+    q, k, v: (B, H, N, D).  bias: (H, Nq, Nk) or (B, H, Nq, Nk) or None.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    s = s * jnp.asarray(scale, jnp.float32)
+    if bias is not None:
+        if bias.ndim == 3:
+            bias = bias[None]
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhnm,bhmd->bhnd", p.astype(v.dtype), v
+    ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash-attention forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(
+    q_ref,  # (BQ, D)
+    k_ref,  # (Npad, D)
+    v_ref,  # (Npad, D)
+    bias_ref,  # (BQ, Npad) or None
+    o_ref,  # (BQ, D)
+    *,
+    scale: float,
+    seq_len: int,
+    block_k: int,
+    has_bias: bool,
+):
+    bq, d = q_ref.shape
+    npad = k_ref.shape[0]
+    num_kb = npad // block_k
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        if has_bias:
+            s = s + bias_ref[:, pl.ds(kb * block_k, block_k)].astype(
+                jnp.float32
+            )
+        # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        s = jnp.where(col + kb * block_k < seq_len, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p,
+            v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_attention_fwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    scale: float,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    b, h, n, d = q.shape
+    npad = _round_up(n, max(block_q, block_k))
+    block_q = min(block_q, npad)
+    block_k = min(block_k, npad)
+    dpad = _round_up(d, 128)
+
+    pad_n = npad - n
+    pad_d = dpad - d
+    if pad_n or pad_d:
+        pad = ((0, 0), (0, 0), (0, pad_n), (0, pad_d))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, pad_n), (0, pad_n)))
+
+    grid = (b, h, npad // block_q)
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        scale=scale,
+        seq_len=n,
+        block_k=block_k,
+        has_bias=bias is not None,
+    )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, dpad),
+            lambda ib, ih, iq: (ib, ih, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, npad, dpad),
+            lambda ib, ih, iq: (ib, ih, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, npad, dpad),
+            lambda ib, ih, iq: (ib, ih, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, npad),
+                lambda ib, ih, iq: (ih, iq, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(bias)
+
+    def kernel_wrap(*refs):
+        if bias is not None:
+            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+            b_ref = None
+        kernel(
+            q_ref.at[0, 0],
+            k_ref.at[0, 0],
+            v_ref.at[0, 0],
+            b_ref if b_ref is None else b_ref.at[0],
+            o_ref.at[0, 0],
+        )
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        out_shape=jax.ShapeDtypeStruct((b, h, npad, dpad), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, dpad),
+            lambda ib, ih, iq: (ib, ih, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * npad * npad * dpad,
+            bytes_accessed=(3 * b * h * npad * dpad + b * h * npad * dpad)
+            * q.dtype.itemsize,
+            transcendentals=b * h * npad * npad,
+        ),
+    )(*args)
+    return out[:, :, :n, :d]
+
+
+# ---------------------------------------------------------------------------
+# Public dispatcher with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention(q, k, v, scale, use_flash, interpret):
+    return _attention_fwd_impl(q, k, v, None, scale, use_flash, interpret)
+
+
+def _attention_fwd_impl(q, k, v, bias, scale, use_flash, interpret):
+    if use_flash:
+        return _flash_attention_fwd(
+            q, k, v, bias, scale, block_q=128, block_k=128,
+            interpret=interpret,
+        )
+    return attention_reference(q, k, v, bias, scale)
+
+
+def _attention_vjp_fwd(q, k, v, scale, use_flash, interpret):
+    out = _attention(q, k, v, scale, use_flash, interpret)
+    return out, (q, k, v)
+
+
+def _attention_vjp_bwd(scale, use_flash, interpret, res, g):
+    q, k, v = res
+    # Backward recomputes the forward via the reference formulation; the
+    # (N, N) intermediate lives only inside this fused XLA computation.
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, None, scale),
+        q,
+        k,
+        v,
+    )
+    return vjp(g)
+
+
+_attention.defvjp(_attention_vjp_fwd, _attention_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_bias(q, k, v, bias, scale, use_flash, interpret):
+    return _attention_fwd_impl(q, k, v, bias, scale, use_flash, interpret)
+
+
+def _attention_bias_vjp_fwd(q, k, v, bias, scale, use_flash, interpret):
+    out = _attention_bias(q, k, v, bias, scale, use_flash, interpret)
+    return out, (q, k, v, bias)
+
+
+def _attention_bias_vjp_bwd(scale, use_flash, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: attention_reference(q_, k_, v_, b_, scale),
+        q,
+        k,
+        v,
+        bias,
+    )
+    return vjp(g)
+
+
+_attention_bias.defvjp(_attention_bias_vjp_fwd, _attention_bias_vjp_bwd)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatching attention: Pallas flash kernel on TPU, jnp elsewhere.
+
+    q, k, v: (B, H, N, D); bias: (H, N, N) additive, or None.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if bias is None:
+        return _attention(q, k, v, float(scale), bool(use_flash), interpret)
+    return _attention_bias(
+        q, k, v, bias, float(scale), bool(use_flash), interpret
+    )

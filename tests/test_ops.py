@@ -1,0 +1,122 @@
+"""Kernel/op unit tests (SURVEY §4: test pyramid tier 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peft_vit_tpu.ops.attention import (
+    attention_reference,
+    multi_head_attention,
+)
+from peft_vit_tpu.ops.phm import (
+    factorized_phm_weight,
+    kronecker_product_batched,
+    phm_linear,
+    phm_weight,
+)
+from peft_vit_tpu.ops.wht import wht_butterfly, wht_matmul
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("n,d", [(64, 32), (197, 64)])
+    def test_matches_reference(self, n, d):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (jax.random.normal(kk, (2, 3, n, d)) for kk in ks)
+        ref = attention_reference(q, k, v)
+        out = multi_head_attention(q, k, v, use_flash=True, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
+
+    def test_bias(self):
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        q, k, v = (jax.random.normal(kk, (1, 2, 50, 32)) for kk in ks[:3])
+        bias = jax.random.normal(ks[3], (2, 50, 50)) * 0.5
+        ref = attention_reference(q, k, v, bias)
+        out = multi_head_attention(
+            q, k, v, bias=bias, use_flash=True, interpret=True
+        )
+        np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
+
+    def test_gradient_matches(self):
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 33, 16)) for kk in ks)
+
+        g1 = jax.grad(
+            lambda q: multi_head_attention(
+                q, k, v, use_flash=True, interpret=True
+            ).sum()
+        )(q)
+        g2 = jax.grad(
+            lambda q: attention_reference(q, k, v).sum()
+        )(q)
+        np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-3)
+
+    def test_causal_mask_equals_explicit(self):
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 16, 8)) for kk in ks)
+        bias = jnp.triu(jnp.full((16, 16), -1e30), k=1)
+        bias = jnp.broadcast_to(bias[None], (2, 16, 16))
+        out = attention_reference(q, k, v, bias)
+        # row i attends only to <= i
+        p = np.asarray(out[0, 0])
+        expected0 = np.asarray(v[0, 0, 0])  # first row sees only itself
+        np.testing.assert_allclose(p[0], expected0, atol=1e-5)
+
+
+class TestPHM:
+    def test_kronecker_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(3, 2, 4).astype(np.float32)
+        b = rng.randn(3, 5, 6).astype(np.float32)
+        out = kronecker_product_batched(jnp.asarray(a), jnp.asarray(b))
+        expect = np.stack([np.kron(a[i], b[i]) for i in range(3)])
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+
+    def test_phm_linear_equals_dense(self):
+        """PHM with phm_dim=1 degenerates to a plain matmul."""
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 8, 6).astype(np.float32))
+        rule = jnp.ones((1, 1, 1), jnp.float32)
+        out = phm_linear(x, rule, w)
+        np.testing.assert_allclose(out, x @ w[0], atol=1e-5)
+
+    def test_phm_weight_shape(self):
+        rule = jnp.zeros((4, 4, 4))
+        w = jnp.zeros((4, 16, 192))
+        assert phm_weight(rule, w).shape == (64, 768)
+
+    def test_factorized_matches_full(self):
+        rng = np.random.RandomState(2)
+        rule = jnp.asarray(rng.randn(2, 2, 2).astype(np.float32))
+        wl = jnp.asarray(rng.randn(2, 3, 1).astype(np.float32))
+        wr = jnp.asarray(rng.randn(2, 1, 3).astype(np.float32))
+        full = jnp.einsum("nir,nro->nio", wl, wr)
+        np.testing.assert_allclose(
+            factorized_phm_weight(rule, wl, wr),
+            phm_weight(rule, full),
+            atol=1e-5,
+        )
+
+
+class TestWHT:
+    @pytest.mark.parametrize("d", [2, 8, 64, 256])
+    def test_butterfly_matches_matmul(self, d):
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, d))
+        np.testing.assert_allclose(
+            wht_butterfly(x), wht_matmul(x), atol=1e-4
+        )
+
+    def test_orthonormal(self):
+        """H H^T = I for normalized WHT (Fastfood requires orthogonality;
+        reference fastfood.py:81-121)."""
+        d = 32
+        eye = jnp.eye(d)
+        h = wht_matmul(eye)
+        np.testing.assert_allclose(h @ h.T, eye, atol=1e-5)
+
+    def test_involution(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 16))
+        np.testing.assert_allclose(
+            wht_butterfly(wht_butterfly(x)), x, atol=1e-5
+        )
