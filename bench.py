@@ -1,0 +1,85 @@
+"""Benchmark: ViT-B/16 + LoRA fine-tuning throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+Baseline (BASELINE.md north star): 3,000 images/sec/chip for ViT-B/16 LoRA
+fine-tuning on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_S = 3000.0
+
+
+def main(batch: int = 256, steps: int = 20, warmup: int = 3) -> None:
+    from __graft_entry__ import _flagship
+    from peft_vit_tpu.engine import ce_per_example, init_cell_state, sgd_update
+    from peft_vit_tpu.peft import build_mask, merge_params, split_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        batch, steps = 8, 3
+
+    model = _flagship(dtype=jnp.bfloat16, use_flash=on_tpu, remat=False)
+    x0 = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    mask = build_mask(params, "lora", num_layers=12)
+    trainable, frozen = split_params(params, mask)
+    state = init_cell_state(trainable)
+
+    def loss_fn(trainable, frozen, x, y):
+        p = merge_params(trainable, frozen)
+        logits = model.apply({"params": p}, x, True)
+        return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def train_step(state, frozen, x, y):
+        loss, grads = grad_fn(state.trainable, frozen, x, y)
+        return sgd_update(grads, state, 1e-3, 1e-4), loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.randn(batch, 224, 224, 3).astype(np.float32), jnp.bfloat16
+    )
+    y = jnp.asarray(rng.randint(0, 100, batch))
+
+    for _ in range(warmup):
+        state, loss = train_step(state, frozen, x, y)
+    float(loss)  # host fetch: the only reliable sync under the axon relay
+    # (block_until_ready on this PJRT plugin resolves before execution)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_step(state, frozen, x, y)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    img_s = batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vitb16_lora_train_throughput",
+                "value": round(img_s, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+            }
+        )
+    )
+    sys.stdout.flush()
+    os._exit(0)  # skip axon teardown hang in this sandbox
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is DDP over NCCL (SURVEY §2.4:
+tools/train.py:119-123, utils/comm.py).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis; XLA/GSPMD inserts the
+all-reduces over ICI that DDP did explicitly.  A ``model`` axis is wired
+through (free with GSPMD) for tensor-parallel sharding of the MLP/attention
+matmuls — not needed for ViT-B (params replicate) but available for larger
+towers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(cfg, devices=None) -> Mesh:
+    return make_mesh(
+        data=int(cfg.TPU.MESH.DATA),
+        model=int(cfg.TPU.MESH.MODEL),
+        devices=devices,
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_partition_spec(path: str, shape: tuple) -> P:
+    """Tensor-parallel rules for a 'model' mesh axis.
+
+    Megatron-style: column-parallel first matmul, row-parallel second —
+    the pattern for both the MLP (c_fc/c_proj) and attention
+    (in_proj/out_proj).  Everything else replicates.  With model=1 these
+    all collapse to full replication.
+    """
+    if len(shape) != 2:
+        return P()
+    if "mlp/c_fc/kernel" in path or "attn/in_proj/kernel" in path:
+        return P(None, MODEL_AXIS)
+    if "mlp/c_proj/kernel" in path or "attn/out_proj/kernel" in path:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any):
+    """NamedSharding pytree for a param tree under `mesh`.
+
+    None leaves (the holes left by peft.split_params) map to None.
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out = {
+        k: (
+            None
+            if v is None
+            else NamedSharding(mesh, param_partition_spec(k, v.shape))
+        )
+        for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+def shard_tree_like(tree, shardings):
+    """Device-put a host pytree with the given shardings (None-aware)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: x if x is None else jax.device_put(x, s),
+        tree,
+        shardings,
+        is_leaf=lambda x: x is None,
+    )
