@@ -1,0 +1,173 @@
+"""The PEFT fine-tuning driver.
+
+One program replaces the reference's 24 per-method command scripts
+(SURVEY §2.1/2.2): ``pvt_run --method lora --ds cfg/cifar10.yaml --model
+cfg/vitb32_clip.yaml`` runs the full flagship path of SURVEY §3.1:
+
+  config -> data (few-shot sample + balanced split) -> model build/graft ->
+  trainable mask -> lr x wd sweep -> final train on train+val (+extra
+  epochs) -> test metric -> reference-shaped logs + results.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import construct_splits, merge_trainval
+from ..engine import (
+    SweepEngine,
+    bce_per_example,
+    ce_per_example,
+    make_array_task,
+    masked_accuracy,
+)
+from ..engine.metrics import get_metric, metric_for_dataset
+from ..engine.zeroshot import extract_text_features
+from ..models.factory import build_image_classifier, init_head_from_text
+from ..peft import (
+    build_mask,
+    count_trainable,
+    describe_mask,
+    spec_from_config,
+    split_params,
+)
+from ..utils.logging import final_result_line, log_trainable_params
+from ..utils.results import append_jsonl
+from .common import add_finetuning_args, fix_seeds, load_config, setup_run_logger
+
+logger = logging.getLogger(__name__)
+
+
+def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
+    fix_seeds(int(cfg.DATASET.RANDOM_SEED_SAMPLING))
+    spec = spec_from_config(cfg)
+    logger.info("=> PEFT method: %s (%s)", cfg.PEFT.METHOD, spec)
+
+    splits = construct_splits(cfg)
+    num_classes = splits.num_classes
+    criterion = bce_per_example if splits.multilabel else ce_per_example
+
+    model, params, encode_text = build_image_classifier(
+        cfg, spec, num_classes
+    )
+    if bool(cfg.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER) and encode_text:
+        text_feats = extract_text_features(encode_text, cfg)
+        scale = (
+            np.exp(2.659)  # CLIP's trained logit_scale default
+            if bool(cfg.TRAIN.INIT_HEAD_WITH_LOGIT_SCALE)
+            else 1.0
+        )
+        params = init_head_from_text(params, np.asarray(text_feats), scale)
+        logger.info("=> head initialized from text encoder")
+
+    num_layers = (
+        model.backbone.layers
+        if hasattr(model.backbone, "layers")
+        else 12
+    )
+    mask = build_mask(
+        params,
+        spec.method if spec.method != "none" else "linear",
+        num_layers=num_layers,
+        train_head=bool(cfg.PEFT.TRAIN_HEAD),
+        extra_regex=str(cfg.PEFT.TRAINABLE_REGEX),
+    )
+    logger.info("trainable:\n%s", describe_mask(params, mask))
+    log_trainable_params(count_trainable(params, mask))
+    trainable0, frozen = split_params(params, mask)
+
+    def init_trainable(rng):
+        # fresh PEFT/head leaves per sweep cell (the reference builds a
+        # fresh Classifier per cell, adapter_tuning_clip.py:231)
+        p = model.init(
+            rng, jnp.zeros((1, *splits.x_train.shape[1:]))
+        )["params"]
+        t, _ = split_params(p, mask)
+        return t
+
+    apply_fn = lambda v, x, train: model.apply(v, x, train)
+    engine = SweepEngine(
+        cfg, apply_fn, init_trainable, frozen, criterion
+    )
+
+    batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU)
+    task = make_array_task(
+        splits.x_train, splits.y_train, splits.x_val, splits.y_val, batch
+    )
+    end_epoch = int(cfg.TRAIN.END_EPOCH)
+
+    no_tuning = bool(cfg.TRAIN.get("NO_TUNING", False))
+    if no_tuning:
+        best_lr = float(cfg.TRAIN.LR)
+        best_wd = float(cfg.TRAIN.WD)
+    else:
+        best_lr, best_wd, _ = engine.sweep(task, end_epoch)
+
+    # final run: merge train+val, extra epochs (adapter_tuning_clip.py:429-481)
+    xt, yt = merge_trainval(splits)
+    final_task = make_array_task(
+        xt, yt, splits.x_test, splits.y_test, batch
+    )
+    final_epochs = end_epoch + int(cfg.TRAIN.EXTRA_FINAL_TRAIN_EPOCH)
+    state, _ = engine.train_final(
+        best_lr, best_wd, final_task, final_epochs
+    )
+
+    logits = engine._eval_one(
+        state.trainable, frozen, final_task.x_val
+    )
+    valid = np.asarray(final_task.valid_val)
+    metric_name = cfg.TEST.METRIC or metric_for_dataset(
+        cfg.DATASET.DATASET
+    )
+    metric = get_metric(metric_name)
+    score = metric(
+        np.asarray(logits, np.float32)[valid],
+        np.asarray(final_task.y_val)[valid],
+    )
+
+    if out_dir:
+        append_jsonl(
+            f"{out_dir}/results.jsonl",
+            {
+                "dataset": cfg.DATASET.DATASET,
+                "method": cfg.PEFT.METHOD,
+                "num_shots": int(cfg.DATASET.NUM_SAMPLES_PER_CLASS),
+                "seed": int(cfg.DATASET.RANDOM_SEED_SAMPLING),
+                "lr": best_lr,
+                "wd": best_wd,
+                "metric": metric_name,
+                "score": float(score),
+                "trainable_params": count_trainable(params, mask),
+                "time": time.time(),
+            },
+        )
+    final_result_line(metric_name, float(score))
+    return float(score)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="PEFT fine-tuning on TPU"
+    )
+    add_finetuning_args(parser)
+    args = parser.parse_args(argv)
+    cfg = load_config(args)
+    if args.no_tuning:
+        cfg.TRAIN.NO_TUNING = True
+    out = setup_run_logger(cfg)
+    cfg.freeze()
+    score = finetune_main(cfg, out)
+    return score
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Checkpoint converters: torch state dicts -> flax param pytrees.
+
+Covers both checkpoint families the reference consumes:
+
+* OpenAI CLIP (.pt state dict) — rebuilt via shape inference exactly like
+  the reference's ``build_model`` (evaluation/adapter_model.py:553-594 /
+  clip_load.py:95-481): vision width from conv1, layer count from resblock
+  keys, patch size from conv1 kernel, embed dim from text_projection.
+* timm supervised ViT (``vit_base_patch16_224``) — the reference loads timm
+  weights, caches them to ``vit.pth`` and re-loads into each modified
+  architecture (evaluation/lora.py:584-596); here they convert directly
+  into the one PEFT-injectable ViT.
+
+Layout notes: torch Linear stores (out, in) -> flax Dense kernel (in, out)
+(transposed); torch Conv2d (out, in, kh, kw) -> flax Conv (kh, kw, in, out).
+Since PEFT param trees are a superset of the checkpoint (adapters etc. are
+freshly initialized), conversion *grafts onto* an initialized tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+from flax import traverse_util
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:  # torch tensor
+        return t.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def infer_clip_shape(sd: Dict[str, Any]) -> Dict[str, int]:
+    """Shape inference from an OpenAI CLIP state dict
+    (adapter_model.py:553-576 logic)."""
+    vision_width = _np(sd["visual.conv1.weight"]).shape[0]
+    vision_layers = len(
+        {
+            k.split(".")[3]
+            for k in sd
+            if k.startswith("visual.transformer.resblocks.")
+        }
+    )
+    patch = _np(sd["visual.conv1.weight"]).shape[-1]
+    grid = int(
+        round((_np(sd["visual.positional_embedding"]).shape[0] - 1) ** 0.5)
+    )
+    embed_dim = _np(sd["text_projection"]).shape[1]
+    text_width = _np(sd["ln_final.weight"]).shape[0]
+    text_layers = len(
+        {
+            k.split(".")[2]
+            for k in sd
+            if k.startswith("transformer.resblocks.")
+        }
+    )
+    return dict(
+        embed_dim=int(embed_dim),
+        image_size=int(grid * patch),
+        patch_size=int(patch),
+        vision_width=int(vision_width),
+        vision_layers=int(vision_layers),
+        vision_heads=int(vision_width // 64),
+        vocab_size=int(_np(sd["token_embedding.weight"]).shape[0]),
+        context_length=int(_np(sd["positional_embedding"]).shape[0]),
+        text_width=int(text_width),
+        text_layers=int(text_layers),
+        text_heads=int(text_width // 64),
+    )
+
+
+def _convert_block(sd, prefix: str) -> Dict[str, np.ndarray]:
+    """One ResidualAttentionBlock -> our Block names."""
+    out = {}
+    out["ln_1/scale"] = _np(sd[f"{prefix}.ln_1.weight"])
+    out["ln_1/bias"] = _np(sd[f"{prefix}.ln_1.bias"])
+    out["ln_2/scale"] = _np(sd[f"{prefix}.ln_2.weight"])
+    out["ln_2/bias"] = _np(sd[f"{prefix}.ln_2.bias"])
+    out["attn/in_proj/kernel"] = _np(sd[f"{prefix}.attn.in_proj_weight"]).T
+    out["attn/in_proj/bias"] = _np(sd[f"{prefix}.attn.in_proj_bias"])
+    out["attn/out_proj/kernel"] = _np(
+        sd[f"{prefix}.attn.out_proj.weight"]
+    ).T
+    out["attn/out_proj/bias"] = _np(sd[f"{prefix}.attn.out_proj.bias"])
+    out["mlp/c_fc/kernel"] = _np(sd[f"{prefix}.mlp.c_fc.weight"]).T
+    out["mlp/c_fc/bias"] = _np(sd[f"{prefix}.mlp.c_fc.bias"])
+    out["mlp/c_proj/kernel"] = _np(sd[f"{prefix}.mlp.c_proj.weight"]).T
+    out["mlp/c_proj/bias"] = _np(sd[f"{prefix}.mlp.c_proj.bias"])
+    return out
+
+
+def clip_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """OpenAI CLIP state dict -> flat {path: array} in our naming."""
+    info = infer_clip_shape(sd)
+    flat: Dict[str, np.ndarray] = {}
+
+    # visual tower
+    flat["visual/conv1/kernel"] = _np(sd["visual.conv1.weight"]).transpose(
+        2, 3, 1, 0
+    )
+    flat["visual/class_embedding"] = _np(sd["visual.class_embedding"])
+    flat["visual/positional_embedding"] = _np(
+        sd["visual.positional_embedding"]
+    )
+    flat["visual/ln_pre/scale"] = _np(sd["visual.ln_pre.weight"])
+    flat["visual/ln_pre/bias"] = _np(sd["visual.ln_pre.bias"])
+    for i in range(info["vision_layers"]):
+        blk = _convert_block(sd, f"visual.transformer.resblocks.{i}")
+        for k, v in blk.items():
+            flat[f"visual/blocks_{i}/{k}"] = v
+    flat["visual/ln_post/scale"] = _np(sd["visual.ln_post.weight"])
+    flat["visual/ln_post/bias"] = _np(sd["visual.ln_post.bias"])
+    flat["visual/proj"] = _np(sd["visual.proj"])
+
+    # text tower
+    flat["text/token_embedding/embedding"] = _np(
+        sd["token_embedding.weight"]
+    )
+    flat["text/positional_embedding"] = _np(sd["positional_embedding"])
+    for i in range(info["text_layers"]):
+        blk = _convert_block(sd, f"transformer.resblocks.{i}")
+        for k, v in blk.items():
+            flat[f"text/blocks_{i}/{k}"] = v
+    flat["text/ln_final/scale"] = _np(sd["ln_final.weight"])
+    flat["text/ln_final/bias"] = _np(sd["ln_final.bias"])
+    flat["text/text_projection"] = _np(sd["text_projection"])
+    flat["logit_scale"] = _np(sd["logit_scale"]).reshape(())
+    return flat
+
+
+def timm_vit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm ``vit_base_patch16_224``-style state dict -> our naming."""
+    flat: Dict[str, np.ndarray] = {}
+    flat["conv1/kernel"] = _np(sd["patch_embed.proj.weight"]).transpose(
+        2, 3, 1, 0
+    )
+    flat["conv1/bias"] = _np(sd["patch_embed.proj.bias"])
+    flat["class_embedding"] = _np(sd["cls_token"]).reshape(-1)
+    flat["positional_embedding"] = _np(sd["pos_embed"])[0]
+    layers = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
+    for i in range(layers):
+        p = f"blocks.{i}"
+        flat[f"blocks_{i}/ln_1/scale"] = _np(sd[f"{p}.norm1.weight"])
+        flat[f"blocks_{i}/ln_1/bias"] = _np(sd[f"{p}.norm1.bias"])
+        flat[f"blocks_{i}/ln_2/scale"] = _np(sd[f"{p}.norm2.weight"])
+        flat[f"blocks_{i}/ln_2/bias"] = _np(sd[f"{p}.norm2.bias"])
+        flat[f"blocks_{i}/attn/in_proj/kernel"] = _np(
+            sd[f"{p}.attn.qkv.weight"]
+        ).T
+        if f"{p}.attn.qkv.bias" in sd:
+            flat[f"blocks_{i}/attn/in_proj/bias"] = _np(
+                sd[f"{p}.attn.qkv.bias"]
+            )
+        flat[f"blocks_{i}/attn/out_proj/kernel"] = _np(
+            sd[f"{p}.attn.proj.weight"]
+        ).T
+        flat[f"blocks_{i}/attn/out_proj/bias"] = _np(
+            sd[f"{p}.attn.proj.bias"]
+        )
+        flat[f"blocks_{i}/mlp/c_fc/kernel"] = _np(
+            sd[f"{p}.mlp.fc1.weight"]
+        ).T
+        flat[f"blocks_{i}/mlp/c_fc/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
+        flat[f"blocks_{i}/mlp/c_proj/kernel"] = _np(
+            sd[f"{p}.mlp.fc2.weight"]
+        ).T
+        flat[f"blocks_{i}/mlp/c_proj/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
+    flat["ln_post/scale"] = _np(sd["norm.weight"])
+    flat["ln_post/bias"] = _np(sd["norm.bias"])
+    return flat
+
+
+def graft(params: Dict[str, Any], flat_src: Dict[str, np.ndarray],
+          prefix: str = "", strict: bool = True) -> Tuple[Dict, list]:
+    """Graft converted weights onto an initialized param tree.
+
+    Returns (new_params, missing): leaves present in the tree but not the
+    checkpoint keep their fresh init (adapters, head); leaves in the
+    checkpoint but absent from the tree raise when strict.
+    """
+    flat = traverse_util.flatten_dict(params, sep="/")
+    used = set()
+    for k in list(flat.keys()):
+        src_key = k[len(prefix):] if prefix and k.startswith(prefix) else k
+        if src_key in flat_src:
+            v = flat_src[src_key]
+            assert flat[k].shape == v.shape, (
+                k, flat[k].shape, v.shape
+            )
+            flat[k] = np.asarray(v, dtype=np.asarray(flat[k]).dtype)
+            used.add(src_key)
+    unused = sorted(set(flat_src) - used)
+    if strict and unused:
+        raise ValueError(f"checkpoint keys not consumed: {unused[:8]}...")
+    missing = sorted(
+        k for k in flat if (k[len(prefix):] if prefix else k) not in flat_src
+    )
+    return traverse_util.unflatten_dict(flat, sep="/"), missing
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load a .pt/.pth checkpoint to a CPU state dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(
+        obj["model"], dict
+    ):
+        obj = obj["model"]
+    return obj

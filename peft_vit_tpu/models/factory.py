@@ -1,0 +1,201 @@
+"""Model factory: config -> (classifier model, params, text encoder).
+
+The analog of the reference's model zoo dispatch (feature.py get_model /
+clip_load.py build_*_model / lib/models registry eval-dispatch,
+tools/train.py:85), driven by MODEL.NAME:
+
+* ``clip_*`` / ``*CLIP*``  -> CLIP visual tower backbone (+ text tower for
+  zero-shot / head init), optionally grafted from a torch checkpoint
+  (MODEL.PRETRAINED).
+* ``cls_vit*`` / ``vit*``  -> supervised timm-style ViT backbone.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..peft.spec import PEFTSpec
+from .classifier import ImageClassifier
+from .clip import CLIP, clip_from_config
+from .convert import (
+    clip_state_dict_to_tree,
+    graft,
+    infer_clip_shape,
+    load_torch_checkpoint,
+    timm_vit_state_dict_to_tree,
+)
+from .text import TextTransformer
+from .vit import VisionTransformer
+
+logger = logging.getLogger(__name__)
+
+
+def is_clip_model(cfg) -> bool:
+    name = str(cfg.MODEL.NAME).lower()
+    return "clip" in name
+
+
+def _dtype(cfg):
+    return (
+        jnp.bfloat16
+        if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16"
+        and jax.default_backend() == "tpu"
+        else jnp.float32
+    )
+
+
+def build_image_classifier(
+    cfg, spec: PEFTSpec, num_classes: int, rng: Optional[jax.Array] = None
+) -> Tuple[ImageClassifier, dict, Optional[Callable]]:
+    """Returns (model, params, encode_text_fn or None).
+
+    params are initialized and, when MODEL.PRETRAINED points at a torch
+    checkpoint, grafted with converted weights (PEFT leaves stay fresh).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dtype = _dtype(cfg)
+    size = int(cfg.TRAIN.IMAGE_SIZE[0])
+    use_flash = bool(cfg.TPU.FLASH_ATTENTION) and (
+        jax.default_backend() == "tpu"
+    )
+
+    sd = None
+    if cfg.MODEL.PRETRAINED:
+        sd = load_torch_checkpoint(cfg.MODEL.PRETRAINED)
+        logger.info("=> loaded checkpoint %s", cfg.MODEL.PRETRAINED)
+
+    encode_text = None
+    if is_clip_model(cfg):
+        if sd is not None and "visual.conv1.weight" in sd:
+            info = infer_clip_shape(sd)
+        else:
+            s = cfg.MODEL.SPEC
+            info = dict(
+                embed_dim=int(s.EMBED_DIM),
+                image_size=size,
+                patch_size=int(s.VISION.PATCH_SIZE),
+                vision_width=int(s.VISION.WIDTH),
+                vision_layers=int(s.VISION.LAYERS),
+                vision_heads=int(s.VISION.HEADS),
+                vocab_size=int(s.TEXT.VOCAB_SIZE),
+                context_length=int(s.TEXT.CONTEXT_LENGTH),
+                text_width=int(s.TEXT.WIDTH),
+                text_layers=int(s.TEXT.LAYERS),
+                text_heads=int(s.TEXT.HEADS),
+            )
+        backbone = VisionTransformer(
+            image_size=info["image_size"],
+            patch_size=info["patch_size"],
+            width=info["vision_width"],
+            layers=info["vision_layers"],
+            heads=info["vision_heads"],
+            style="clip",
+            output_dim=info["embed_dim"],
+            spec=spec,
+            use_flash=use_flash,
+            remat=bool(cfg.TPU.REMAT),
+            dtype=dtype,
+        )
+        model = ImageClassifier(
+            backbone=backbone,
+            num_classes=num_classes,
+            normalize_visual=bool(cfg.TRAIN.NORMALIZE_VISUAL_FEATURE),
+            dtype=dtype,
+        )
+        x0 = jnp.zeros((1, info["image_size"], info["image_size"], 3))
+        params = model.init(rng, x0)["params"]
+        if sd is not None and "visual.conv1.weight" in sd:
+            flat_src = clip_state_dict_to_tree(sd)
+            visual_src = {
+                "backbone/" + k[len("visual/"):]: v
+                for k, v in flat_src.items()
+                if k.startswith("visual/")
+            }
+            params, missing = graft(params, visual_src, strict=False)
+            logger.info(
+                "=> grafted CLIP visual weights (%d fresh leaves)",
+                len(missing),
+            )
+            # text tower for zero-shot / head init
+            text = TextTransformer(
+                vocab_size=info["vocab_size"],
+                context_length=info["context_length"],
+                width=info["text_width"],
+                layers=info["text_layers"],
+                heads=info["text_heads"],
+                output_dim=info["embed_dim"],
+                use_flash=use_flash,
+                dtype=dtype,
+            )
+            toks0 = jnp.ones((1, info["context_length"]), jnp.int32)
+            tparams = text.init(jax.random.PRNGKey(1), toks0)["params"]
+            text_src = {
+                k[len("text/"):]: v
+                for k, v in flat_src.items()
+                if k.startswith("text/")
+            }
+            tparams, _ = graft(tparams, text_src, strict=False)
+
+            def encode_text(tokens):
+                return text.apply({"params": tparams}, tokens)
+
+    else:
+        s = cfg.MODEL.SPEC
+        backbone = VisionTransformer(
+            image_size=size,
+            patch_size=int(s.VISION.PATCH_SIZE),
+            width=int(s.VISION.WIDTH),
+            layers=int(s.VISION.LAYERS),
+            heads=int(s.VISION.HEADS),
+            style="timm",
+            output_dim=None,
+            spec=spec,
+            use_flash=use_flash,
+            remat=bool(cfg.TPU.REMAT),
+            dtype=dtype,
+        )
+        model = ImageClassifier(
+            backbone=backbone, num_classes=num_classes, dtype=dtype
+        )
+        x0 = jnp.zeros((1, size, size, 3))
+        params = model.init(rng, x0)["params"]
+        if sd is not None:
+            params, missing = graft(
+                params,
+                {
+                    "backbone/" + k: v
+                    for k, v in timm_vit_state_dict_to_tree(sd).items()
+                },
+                strict=False,
+            )
+            logger.info(
+                "=> grafted timm ViT weights (%d fresh leaves)",
+                len(missing),
+            )
+
+    return model, params, encode_text
+
+
+def init_head_from_text(
+    params: dict,
+    text_features: np.ndarray,
+    logit_scale: float = 1.0,
+) -> dict:
+    """TRAIN.INIT_HEAD_WITH_TEXT_ENCODER (full_model_finetune.py:105-135):
+    head kernel = zero-shot text classifier, bias = 0; optional
+    INIT_HEAD_WITH_LOGIT_SCALE folds exp(logit_scale) in."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    key = next(k for k in flat if k.endswith("head/kernel"))
+    w = np.asarray(text_features).T * float(logit_scale)
+    assert flat[key].shape == w.shape, (flat[key].shape, w.shape)
+    flat[key] = jnp.asarray(w, dtype=np.asarray(flat[key]).dtype)
+    bkey = key.replace("kernel", "bias")
+    flat[bkey] = jnp.zeros_like(flat[bkey])
+    return traverse_util.unflatten_dict(flat, sep="/")
