@@ -1,0 +1,91 @@
+"""Full-shot training command (reference full_shot/main/tools/train.py).
+
+``python -m peft_vit_tpu.commands.train --cfg experiments/r50.yaml``
+runs the distributed pre-training/fine-tuning loop: optax optimizer +
+schedule from config, EMA/SWA, mixup, bf16, NaN guard, Orbax auto-resume.
+Multi-host: launch one process per host with jax.distributed env vars —
+the mesh spans all chips, replacing torch.distributed.launch (run.sh:3-11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+
+from ..config import get_default_config
+from ..data import construct_splits
+from ..engine.trainer import Trainer, batch_iterator
+from ..models.factory import build_image_classifier
+from ..peft import build_mask, count_trainable, spec_from_config
+from ..utils.logging import create_logger, final_result_line, log_trainable_params
+
+logger = logging.getLogger(__name__)
+
+
+def train_main(cfg) -> float:
+    spec = spec_from_config(cfg)
+    splits = construct_splits(cfg)
+    model, params, _ = build_image_classifier(
+        cfg, spec, splits.num_classes
+    )
+
+    method = cfg.PEFT.METHOD if cfg.PEFT.METHOD != "none" else "full"
+    num_layers = getattr(model.backbone, "layers", 12)
+    mask = build_mask(params, method, num_layers=num_layers)
+    log_trainable_params(count_trainable(params, mask))
+
+    batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU) * jax.device_count()
+    steps_per_epoch = max(len(splits.y_train) // batch, 1)
+    trainer = Trainer(cfg, model, params, mask, steps_per_epoch)
+
+    def train_batches(epoch):
+        return batch_iterator(
+            splits.x_train,
+            splits.y_train,
+            batch,
+            shuffle=bool(cfg.TRAIN.SHUFFLE),
+            seed=epoch,
+        )
+
+    def eval_batches():
+        return batch_iterator(
+            splits.x_test,
+            splits.y_test,
+            int(cfg.TEST.BATCH_SIZE_PER_GPU),
+            shuffle=False,
+            drop_last=False,
+        )
+
+    ckpt_dir = os.path.join(
+        cfg.OUTPUT_DIR, cfg.DATASET.DATASET, cfg.NAME, "checkpoints"
+    )
+    best = trainer.fit(train_batches, eval_batches, ckpt_dir)
+    final_result_line("accuracy", best)
+    return best
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="full-shot training")
+    parser.add_argument("--cfg", required=False, default=None)
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args(argv)
+    cfg = get_default_config()
+    if args.cfg:
+        cfg.merge_from_file(args.cfg)
+        cfg.NAME = cfg.NAME or os.path.splitext(
+            os.path.basename(args.cfg)
+        )[0]
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.NAME = cfg.NAME or "train"
+    create_logger(cfg, "train")
+    cfg.freeze()
+    return train_main(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,9 +33,45 @@ from .ema import (
 )
 from .mixup import cutmix, mixup, mixup_cutmix
 from .metrics import get_metric, metric_for_dataset, topk_accuracy
+from .trainer import FullTrainState, Trainer, batch_iterator
+from .zeroshot import (
+    clip_zeroshot_evaluator,
+    extract_image_features,
+    extract_text_features,
+)
+from .contrastive import (
+    clip_contrastive_step_fn,
+    contrastive_eval_logits,
+    hybrid_contrastive_step_fn,
+)
+from .probes import (
+    logistic_probe_sweep,
+    logistic_probe_vmapped,
+    multilabel_probe,
+)
+from .checkpoint import (
+    dump_nan_state,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 __all__ = [
     "ArrayTask",
+    "FullTrainState",
+    "Trainer",
+    "batch_iterator",
+    "clip_contrastive_step_fn",
+    "clip_zeroshot_evaluator",
+    "contrastive_eval_logits",
+    "dump_nan_state",
+    "extract_image_features",
+    "extract_text_features",
+    "hybrid_contrastive_step_fn",
+    "logistic_probe_sweep",
+    "logistic_probe_vmapped",
+    "multilabel_probe",
+    "restore_checkpoint",
+    "save_checkpoint",
     "EmaState",
     "SwaState",
     "SweepEngine",

@@ -23,8 +23,10 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params, decay: float) -> EmaState:
+    # copy (not alias) so donating the train state never donates the same
+    # buffer twice
     return EmaState(
-        shadow=jax.tree_util.tree_map(jnp.asarray, params),
+        shadow=jax.tree_util.tree_map(jnp.copy, params),
         decay=jnp.asarray(decay, jnp.float32),
     )
 
@@ -47,7 +49,7 @@ class SwaState(NamedTuple):
 
 def swa_init(params) -> SwaState:
     return SwaState(
-        average=jax.tree_util.tree_map(jnp.asarray, params),
+        average=jax.tree_util.tree_map(jnp.copy, params),
         count=jnp.asarray(0, jnp.int32),
     )
 

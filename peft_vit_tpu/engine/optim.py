@@ -83,8 +83,11 @@ def no_weight_decay_mask(params, without_wd_list=()) -> Dict:
     (optim/build.py): bias / LayerNorm / BatchNorm params get no decay."""
     keys = tuple(without_wd_list) or _NO_WD_DEFAULT
     flat = traverse_util.flatten_dict(params, sep="/")
+    # None leaves (peft.split_params holes) stay None so the mask tree
+    # matches the param tree structure under jax/optax flattening.
     mask = {
-        k: not any(s in k.lower() for s in keys) for k in flat
+        k: (None if v is None else not any(s in k.lower() for s in keys))
+        for k, v in flat.items()
     }
     return traverse_util.unflatten_dict(mask, sep="/")
 
@@ -92,7 +95,10 @@ def no_weight_decay_mask(params, without_wd_list=()) -> Dict:
 def backbone_lr_mask(params) -> Dict:
     """True for backbone params (0.1x lr under TWO_LR), False for head."""
     flat = traverse_util.flatten_dict(params, sep="/")
-    mask = {k: not k.startswith("classifier/") for k in flat}
+    mask = {
+        k: (None if v is None else not k.startswith("classifier/"))
+        for k, v in flat.items()
+    }
     return traverse_util.unflatten_dict(mask, sep="/")
 
 

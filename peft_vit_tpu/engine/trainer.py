@@ -1,0 +1,345 @@
+"""Full-shot trainer: the pjit epoch loop.
+
+Functional re-design of the reference distributed trainer
+(full_shot/main/tools/train.py:64-291 + lib/core/function.py:46-268):
+
+* epoch loop with train/eval, best-model tracking, auto-resume
+* mixup/cutmix + label smoothing folded into the jitted step
+* bf16 compute (the reference's AMP autocast+GradScaler; bf16 needs no
+  loss scaling)
+* optax optimizer/schedule from config (sgd/adam/adamW/rmsprop, LARC,
+  WarmupCosine/MultiStep/Cosine), gradient-norm clip
+* EMA shadow update per step; SWA averaging after SWA.BEGIN_EPOCH
+* NaN-loss forensic dump + abort (lib/core/function.py:91-107)
+* per-step throughput meters and cross-device metric reduction (the
+  _meter_reduce allreduce is a jnp.mean under pjit — GSPMD inserts the
+  collective)
+* rank-0 Orbax checkpointing with TRAIN.AUTO_RESUME
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..peft.masks import merge_params
+from .checkpoint import dump_nan_state, restore_checkpoint, save_checkpoint
+from .ema import EmaState, SwaState, ema_init, ema_update, swa_init, swa_update
+from .loss import build_criterion
+from .mixup import mixup_cutmix
+from .optim import build_lr_schedule, build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class FullTrainState(NamedTuple):
+    trainable: Any
+    opt_state: Any
+    step: jax.Array
+    ema: Optional[EmaState]
+    swa: Optional[SwaState]
+
+
+class Trainer:
+    """Owns the jitted steps + host-side epoch loop for one config."""
+
+    def __init__(
+        self,
+        cfg,
+        model,
+        params,
+        mask,
+        steps_per_epoch: int,
+        mesh=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        from ..peft.masks import split_params
+
+        self.cfg = cfg
+        self.model = model
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh
+
+        trainable, frozen = split_params(params, mask)
+        self.frozen = frozen
+        self.schedule = build_lr_schedule(cfg, steps_per_epoch)
+        self.tx = build_optimizer(
+            cfg, trainable, steps_per_epoch, self.schedule
+        )
+        ema = (
+            ema_init(trainable, float(cfg.TRAIN.EMA_DECAY))
+            if float(cfg.TRAIN.EMA_DECAY) > 0
+            else None
+        )
+        swa = swa_init(trainable) if bool(cfg.SWA.ENABLED) else None
+        self.state = FullTrainState(
+            trainable=trainable,
+            opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+            ema=ema,
+            swa=swa,
+        )
+
+        self.criterion = build_criterion(cfg, train=True)
+        self.eval_criterion = build_criterion(cfg, train=False)
+        aug = cfg.AUG
+        self.use_mixup = (
+            float(aug.MIXUP) > 0.0 or float(aug.MIXCUT) > 0.0
+        )
+        self.num_classes = int(cfg.MODEL.NUM_CLASSES) or int(
+            cfg.DATASET.NUM_CLASSES
+        )
+
+        self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(self._eval_fn)
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg = self.cfg
+        aug = cfg.AUG
+        use_mixup = self.use_mixup
+        num_classes = self.num_classes
+        smoothing = float(cfg.LOSS.LABEL_SMOOTHING)
+        model = self.model
+        criterion = self.criterion
+        tx = self.tx
+        swa_begin = int(cfg.SWA.BEGIN_EPOCH)
+
+        def loss_fn(trainable, frozen, x, y, rng):
+            params = merge_params(trainable, frozen)
+            if use_mixup:
+                x, y = mixup_cutmix(
+                    rng,
+                    x,
+                    y,
+                    num_classes,
+                    mixup_alpha=float(aug.MIXUP) or 0.2,
+                    cutmix_alpha=float(aug.MIXCUT) or 1.0,
+                    switch_prob=float(aug.MIXUP_SWITCH_PROB),
+                    smoothing=smoothing,
+                )
+            logits = model.apply(
+                {"params": params}, x, True
+            )
+            loss = criterion(logits.astype(jnp.float32), y)
+            return loss, logits
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
+            (loss, logits), grads = grad_fn(
+                state.trainable, frozen, x, y, rng
+            )
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.trainable
+            )
+            trainable = optax.apply_updates(state.trainable, updates)
+            ema = state.ema
+            if ema is not None:
+                ema = ema_update(ema, trainable)
+            swa = state.swa
+            if swa is not None and swa_begin >= 0:
+                swa = jax.lax.cond(
+                    epoch >= swa_begin,
+                    lambda s: swa_update(s, trainable),
+                    lambda s: s,
+                    swa,
+                )
+            new_state = FullTrainState(
+                trainable, opt_state, state.step + 1, ema, swa
+            )
+            return new_state, loss, logits
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _eval_fn(self, trainable, frozen, x):
+        params = merge_params(trainable, frozen)
+        return self.model.apply({"params": params}, x, False)
+
+    # -- host loop ------------------------------------------------------------
+
+    def train_one_epoch(
+        self, batches: Iterator[Tuple[np.ndarray, np.ndarray]], epoch: int
+    ) -> Dict[str, float]:
+        cfg = self.cfg
+        losses, seen = [], 0
+        t_start = time.time()
+        for i, (x, y) in enumerate(batches):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, loss, _ = self._train_step(
+                self.state,
+                self.frozen,
+                jnp.asarray(x),
+                jnp.asarray(y),
+                step_rng,
+                jnp.asarray(epoch),
+            )
+            seen += x.shape[0]
+            if (i + 1) % int(cfg.PRINT_FREQ) == 0 or i == 0:
+                loss_v = float(loss)  # host fetch = sync point
+                losses.append(loss_v)
+                if not np.isfinite(loss_v):
+                    dump_nan_state(
+                        f"{cfg.OUTPUT_DIR}/nan_dump_e{epoch}_i{i}.npz",
+                        x=x,
+                        y=y,
+                        loss=loss,
+                    )
+                    raise FloatingPointError(
+                        f"NaN/Inf loss at epoch {epoch} iter {i}"
+                    )
+                speed = seen / max(time.time() - t_start, 1e-9)
+                logger.info(
+                    "Epoch[%d] iter %d: loss %.4f lr %.3g (%.1f samples/s)",
+                    epoch,
+                    i,
+                    loss_v,
+                    float(self.schedule(self.state.step)),
+                    speed,
+                )
+        dt = time.time() - t_start
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "samples_per_sec": seen / max(dt, 1e-9),
+            "epoch_time": dt,
+        }
+
+    def evaluate(
+        self,
+        batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+        use_ema: bool = False,
+        use_swa: bool = False,
+    ) -> float:
+        trainable = self.state.trainable
+        if use_ema and self.state.ema is not None:
+            trainable = self.state.ema.shadow
+        if use_swa and self.state.swa is not None:
+            trainable = self.state.swa.average
+        correct = total = 0
+        for x, y in batches:
+            logits = self._eval_step(
+                trainable, self.frozen, jnp.asarray(x)
+            )
+            pred = np.asarray(jnp.argmax(logits, -1))
+            correct += int((pred == np.asarray(y)).sum())
+            total += len(y)
+        return 100.0 * correct / max(total, 1)
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def _ckpt_state(self, epoch: int = 0) -> Dict[str, Any]:
+        s = self.state
+        out = {
+            "trainable": s.trainable,
+            "opt_state": s.opt_state,
+            "step": s.step,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        }
+        if s.ema is not None:
+            out["ema_shadow"] = s.ema.shadow
+        if s.swa is not None:
+            out["swa_average"] = s.swa.average
+            out["swa_count"] = s.swa.count
+        return out
+
+    def save(self, directory: str, epoch: int) -> None:
+        save_checkpoint(directory, epoch, self._ckpt_state(epoch))
+
+    def maybe_resume(self, directory: str) -> Optional[int]:
+        if not bool(self.cfg.TRAIN.AUTO_RESUME):
+            return None
+        template = self._ckpt_state()
+        restored = restore_checkpoint(directory, template)
+        if restored is None:
+            return None
+        s = self.state
+        ema = (
+            s.ema._replace(shadow=restored["ema_shadow"])
+            if s.ema is not None
+            else None
+        )
+        swa = (
+            SwaState(restored["swa_average"], restored["swa_count"])
+            if s.swa is not None
+            else None
+        )
+        self.state = FullTrainState(
+            restored["trainable"],
+            restored["opt_state"],
+            restored["step"],
+            ema,
+            swa,
+        )
+        return int(restored["epoch"])
+
+    def fit(
+        self,
+        train_batches_fn: Callable[[int], Iterator],
+        eval_batches_fn: Callable[[], Iterator],
+        checkpoint_dir: Optional[str] = None,
+    ) -> float:
+        cfg = self.cfg
+        begin = int(cfg.TRAIN.BEGIN_EPOCH)
+        if checkpoint_dir:
+            resumed = self.maybe_resume(checkpoint_dir)
+            if resumed is not None:
+                begin = resumed + 1
+        best = 0.0
+        for epoch in range(begin, int(cfg.TRAIN.END_EPOCH)):
+            stats = self.train_one_epoch(train_batches_fn(epoch), epoch)
+            logger.info(
+                "=> Epoch %d done: loss %.4f (%.1f samples/s)",
+                epoch,
+                stats["loss"],
+                stats["samples_per_sec"],
+            )
+            if epoch >= int(cfg.TRAIN.EVAL_BEGIN_EPOCH):
+                acc = self.evaluate(eval_batches_fn())
+                best = max(best, acc)
+                logger.info(
+                    "=> Epoch %d val acc %.3f (best %.3f)",
+                    epoch,
+                    acc,
+                    best,
+                )
+                if float(cfg.TRAIN.EMA_DECAY) > 0:
+                    ema_acc = self.evaluate(
+                        eval_batches_fn(), use_ema=True
+                    )
+                    logger.info("=> Epoch %d EMA acc %.3f", epoch, ema_acc)
+                    best = max(best, ema_acc)
+            if checkpoint_dir:
+                self.save(checkpoint_dir, epoch)
+        if self.state.swa is not None:
+            swa_acc = self.evaluate(eval_batches_fn(), use_swa=True)
+            logger.info("=> SWA acc %.3f", swa_acc)
+            best = max(best, swa_acc)
+        return best
+
+
+def batch_iterator(
+    x: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+):
+    """Host batch iterator (full-shot scale; the ArrayTask path covers
+    few-shot)."""
+    n = len(x)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    end = (n // batch_size) * batch_size if drop_last else n
+    for i in range(0, end, batch_size):
+        j = idx[i : i + batch_size]
+        yield x[j], y[j]

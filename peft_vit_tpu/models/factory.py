@@ -40,6 +40,32 @@ def is_clip_model(cfg) -> bool:
     return "clip" in name
 
 
+def is_swin_model(cfg) -> bool:
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return "swin" in name or vm == "swin"
+
+
+def _build_swin_backbone(cfg, spec: PEFTSpec, output_dim, dtype, use_flash):
+    """cls_swin / clip_swin visual tower (reference models/cls_swin.py:20-713,
+    clip_swin.py:24-284)."""
+    from .swin import SwinTransformer
+
+    s = cfg.MODEL.SPEC.VISION
+    return SwinTransformer(
+        image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
+        patch_size=int(s.get("PATCH_SIZE", 4)),
+        embed_dim=int(s.get("EMBED_DIM", s.get("WIDTH", 96))),
+        depths=tuple(s.get("DEPTHS", (2, 2, 6, 2))),
+        num_heads=tuple(s.get("NUM_HEADS", (3, 6, 12, 24))),
+        window_size=int(s.get("WINDOW_SIZE", 7)),
+        output_dim=output_dim,
+        spec=spec,
+        use_flash=use_flash,
+        dtype=dtype,
+    )
+
+
 def _dtype(cfg):
     return (
         jnp.bfloat16
@@ -88,19 +114,24 @@ def build_image_classifier(
                 text_layers=int(s.TEXT.LAYERS),
                 text_heads=int(s.TEXT.HEADS),
             )
-        backbone = VisionTransformer(
-            image_size=info["image_size"],
-            patch_size=info["patch_size"],
-            width=info["vision_width"],
-            layers=info["vision_layers"],
-            heads=info["vision_heads"],
-            style="clip",
-            output_dim=info["embed_dim"],
-            spec=spec,
-            use_flash=use_flash,
-            remat=bool(cfg.TPU.REMAT),
-            dtype=dtype,
-        )
+        if is_swin_model(cfg):
+            backbone = _build_swin_backbone(
+                cfg, spec, info["embed_dim"], dtype, use_flash
+            )
+        else:
+            backbone = VisionTransformer(
+                image_size=info["image_size"],
+                patch_size=info["patch_size"],
+                width=info["vision_width"],
+                layers=info["vision_layers"],
+                heads=info["vision_heads"],
+                style="clip",
+                output_dim=info["embed_dim"],
+                spec=spec,
+                use_flash=use_flash,
+                remat=bool(cfg.TPU.REMAT),
+                dtype=dtype,
+            )
         model = ImageClassifier(
             backbone=backbone,
             num_classes=num_classes,
@@ -146,19 +177,24 @@ def build_image_classifier(
 
     else:
         s = cfg.MODEL.SPEC
-        backbone = VisionTransformer(
-            image_size=size,
-            patch_size=int(s.VISION.PATCH_SIZE),
-            width=int(s.VISION.WIDTH),
-            layers=int(s.VISION.LAYERS),
-            heads=int(s.VISION.HEADS),
-            style="timm",
-            output_dim=None,
-            spec=spec,
-            use_flash=use_flash,
-            remat=bool(cfg.TPU.REMAT),
-            dtype=dtype,
-        )
+        if is_swin_model(cfg):
+            backbone = _build_swin_backbone(
+                cfg, spec, None, dtype, use_flash
+            )
+        else:
+            backbone = VisionTransformer(
+                image_size=size,
+                patch_size=int(s.VISION.PATCH_SIZE),
+                width=int(s.VISION.WIDTH),
+                layers=int(s.VISION.LAYERS),
+                heads=int(s.VISION.HEADS),
+                style="timm",
+                output_dim=None,
+                spec=spec,
+                use_flash=use_flash,
+                remat=bool(cfg.TPU.REMAT),
+                dtype=dtype,
+            )
         model = ImageClassifier(
             backbone=backbone, num_classes=num_classes, dtype=dtype
         )

@@ -65,25 +65,34 @@ ACT2FN: dict[str, Callable[[jax.Array], jax.Array]] = {
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in fp32, output cast back to the input dtype."""
+    """LayerNorm computed in fp32 (torch-parity default; reference
+    adapter_model.py:153-164), output cast back to the input dtype.
+
+    ``compute_fp32=False`` keeps the statistics in the input dtype — a
+    throughput mode that avoids the cast round-trips in bf16 training
+    (numerics: bf16 mean/var over 768-1024 lanes is fine for training,
+    not for logit-parity evaluation).
+    """
 
     epsilon: float = 1e-5
     param_dtype: Dtype = jnp.float32
+    compute_fp32: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.var(x32, axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        ct = jnp.float32 if self.compute_fp32 else orig_dtype
+        xc = x.astype(ct)
+        mean = jnp.mean(xc, axis=-1, keepdims=True)
+        var = jnp.var(xc, axis=-1, keepdims=True)
+        y = (xc - mean) * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, ct))
         scale = self.param(
             "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (x.shape[-1],), self.param_dtype
         )
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = y * scale.astype(ct) + bias.astype(ct)
         return y.astype(orig_dtype)
 
 
@@ -397,7 +406,13 @@ class MultiHeadAttention(nn.Module):
             bias = jnp.broadcast_to(bias, (h, n, n))
 
         out = multi_head_attention(
-            qh, kh, vh, bias=bias, scale=attn_scale, use_flash=self.use_flash
+            qh,
+            kh,
+            vh,
+            bias=bias,
+            scale=attn_scale,
+            # True = auto (kernel for long sequences, XLA otherwise)
+            use_flash=None if self.use_flash else False,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
 
@@ -446,6 +461,7 @@ class Block(nn.Module):
     causal: bool = False
     use_flash: bool = True
     drop_path: float = 0.0
+    ln_fp32: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -465,7 +481,13 @@ class Block(nn.Module):
             name="attn",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(LayerNorm(name="ln_1", param_dtype=self.param_dtype)(x))
+        )(
+            LayerNorm(
+                name="ln_1",
+                param_dtype=self.param_dtype,
+                compute_fp32=self.ln_fp32,
+            )(x)
+        )
         x = x + self._drop_path(attn_out, deterministic)
 
         m = Mlp(
@@ -475,7 +497,13 @@ class Block(nn.Module):
             name="mlp",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(LayerNorm(name="ln_2", param_dtype=self.param_dtype)(x))
+        )(
+            LayerNorm(
+                name="ln_2",
+                param_dtype=self.param_dtype,
+                compute_fp32=self.ln_fp32,
+            )(x)
+        )
 
         adapter_active = spec.adapter != "none" and (
             spec.adapter_layers is None

@@ -50,6 +50,7 @@ class VisionTransformer(nn.Module):
     use_flash: bool = True
     remat: bool = False
     drop_path_rate: float = 0.0
+    ln_fp32: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -127,7 +128,11 @@ class VisionTransformer(nn.Module):
             n_prefix = 1 + num_prompts
 
         if self.style == "clip":
-            x = LayerNorm(name="ln_pre", param_dtype=self.param_dtype)(x)
+            x = LayerNorm(
+                name="ln_pre",
+                param_dtype=self.param_dtype,
+                compute_fp32=self.ln_fp32,
+            )(x)
 
         deep_prompts = None
         if num_prompts > 0 and spec.prompt_deep and self.layers > 1:
@@ -163,15 +168,18 @@ class VisionTransformer(nn.Module):
                 n_prefix=n_prefix,
                 use_flash=self.use_flash,
                 drop_path=float(dpr[i]),
+                ln_fp32=self.ln_fp32,
                 name=f"blocks_{i}",
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(x, deterministic)
 
         if self.style == "clip":
-            pooled = LayerNorm(name="ln_post", param_dtype=self.param_dtype)(
-                x[:, 0, :]
-            )
+            pooled = LayerNorm(
+                name="ln_post",
+                param_dtype=self.param_dtype,
+                compute_fp32=self.ln_fp32,
+            )(x[:, 0, :])
             if self.output_dim is not None:
                 proj = self.param(
                     "proj",
@@ -181,7 +189,11 @@ class VisionTransformer(nn.Module):
                 )
                 pooled = pooled @ proj.astype(self.dtype)
         else:
-            x = LayerNorm(name="ln_post", param_dtype=self.param_dtype)(x)
+            x = LayerNorm(
+                name="ln_post",
+                param_dtype=self.param_dtype,
+                compute_fp32=self.ln_fp32,
+            )(x)
             pooled = x[:, 0, :]
 
         if return_tokens:

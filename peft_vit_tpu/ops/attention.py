@@ -316,7 +316,13 @@ def multi_head_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash is None:
-        use_flash = jax.default_backend() == "tpu"
+        # Measured on v5e (ViT-B/16, N=197): XLA's fused attention beats
+        # the Pallas kernel below ~384 tokens (padding 197->256 + small
+        # per-program work); the kernel wins on long sequences where the
+        # S x S materialization starts to hurt (577-token L/14-336 and up).
+        use_flash = (
+            jax.default_backend() == "tpu" and q.shape[-2] >= 384
+        )
     if bias is None:
         return _attention(q, k, v, float(scale), bool(use_flash), interpret)
     return _attention_bias(

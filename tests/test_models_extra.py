@@ -1,0 +1,166 @@
+"""Swin backbone + contrastive path + summary tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from peft_vit_tpu.engine.contrastive import (
+    clip_contrastive_step_fn,
+    contrastive_eval_logits,
+    hybrid_contrastive_step_fn,
+)
+from peft_vit_tpu.models.swin import (
+    SwinTransformer,
+    window_merge,
+    window_partition,
+)
+from peft_vit_tpu.peft import PEFTSpec, build_mask
+from peft_vit_tpu.utils.summary import flops_of, param_summary
+
+
+class TestSwin:
+    def test_window_roundtrip(self):
+        x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+        w = window_partition(x, 4)
+        assert w.shape == (2 * 4, 16, 3)
+        back = window_merge(w, 4, 8, 8)
+        np.testing.assert_array_equal(back, x)
+
+    def test_forward_shapes(self):
+        m = SwinTransformer(
+            image_size=32,
+            patch_size=4,
+            embed_dim=16,
+            depths=(1, 1),
+            num_heads=(2, 4),
+            window_size=4,
+            use_flash=False,
+        )
+        x = jnp.ones((2, 32, 32, 3))
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        out = m.apply({"params": p}, x)
+        assert out.shape == (2, 32)  # dim doubles once
+
+    def test_shifted_block_differs_and_is_finite(self):
+        kwargs = dict(
+            image_size=32,
+            patch_size=4,
+            embed_dim=16,
+            num_heads=(2,),
+            window_size=4,
+            use_flash=False,
+        )
+        m = SwinTransformer(depths=(2,), **kwargs)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        out = m.apply({"params": p}, x)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_rpb_mask_applies_to_swin(self):
+        """The 'rpb' trainable filter selects Swin's relative position
+        bias tables (reference RPB method on the Swin family)."""
+        m = SwinTransformer(
+            image_size=32,
+            patch_size=4,
+            embed_dim=16,
+            depths=(1,),
+            num_heads=(2,),
+            window_size=4,
+            use_flash=False,
+        )
+        x = jnp.ones((1, 32, 32, 3))
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        mask = build_mask(p, "rpb", num_layers=1, train_head=False)
+        flat = traverse_util.flatten_dict(mask, sep="/")
+        chosen = [k for k, v in flat.items() if v]
+        assert chosen and all(
+            "relative_position_bias_table" in k for k in chosen
+        )
+
+    def test_lora_injects_into_swin(self):
+        spec = PEFTSpec(method="lora", attn_delta="lora", lora_rank=2)
+        m = SwinTransformer(
+            image_size=32,
+            patch_size=4,
+            embed_dim=16,
+            depths=(1,),
+            num_heads=(2,),
+            window_size=4,
+            spec=spec,
+            use_flash=False,
+        )
+        p = m.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))[
+            "params"
+        ]
+        flat = traverse_util.flatten_dict(p, sep="/")
+        assert any("q_adapter1" in k for k in flat)
+
+
+class TestContrastive:
+    def test_clip_contrastive_loss_decreases_grad(self):
+        d = 8
+
+        def enc_img(params, x):
+            return x @ params["wi"]
+
+        def enc_txt(params, t):
+            return t @ params["wt"]
+
+        rng = np.random.RandomState(0)
+        params = {
+            "wi": jnp.asarray(rng.randn(4, d), jnp.float32),
+            "wt": jnp.asarray(rng.randn(4, d), jnp.float32),
+        }
+        imgs = jnp.asarray(rng.randn(6, 4), jnp.float32)
+        toks = jnp.asarray(rng.randn(6, 4), jnp.float32)
+        loss_fn = clip_contrastive_step_fn(enc_img, enc_txt)
+        scale = jnp.asarray(np.log(1 / 0.07), jnp.float32)
+        l0 = float(loss_fn(params, imgs, toks, scale))
+        g = jax.grad(lambda p: loss_fn(p, imgs, toks, scale))(params)
+        p2 = jax.tree_util.tree_map(lambda a, b: a - 0.1 * b, params, g)
+        l1 = float(loss_fn(p2, imgs, toks, scale))
+        assert l1 < l0
+
+    def test_hybrid_same_class_positive(self):
+        def enc_img(params, x):
+            return x
+
+        loss_fn = hybrid_contrastive_step_fn(enc_img)
+        text_feats = jnp.eye(3)
+        # images already aligned to their class text
+        imgs = text_feats[jnp.asarray([0, 1, 2, 0])]
+        labels = jnp.asarray([0, 1, 2, 0])
+        aligned = float(
+            loss_fn({}, text_feats, imgs, labels, jnp.asarray(2.0))
+        )
+        shuffled = float(
+            loss_fn(
+                {},
+                text_feats,
+                imgs,
+                jnp.asarray([1, 2, 0, 1]),
+                jnp.asarray(2.0),
+            )
+        )
+        assert aligned < shuffled
+
+    def test_eval_logits(self):
+        txt = jnp.eye(3)
+        img = txt[jnp.asarray([2, 0])] * 5.0
+        logits = contrastive_eval_logits(img, txt)
+        assert (jnp.argmax(logits, -1) == jnp.asarray([2, 0])).all()
+
+
+class TestSummary:
+    def test_param_summary_counts(self):
+        params = {"a": {"w": jnp.zeros((3, 4))}, "b": jnp.zeros((5,))}
+        s = param_summary(params)
+        assert "17" in s.replace(",", "")
+
+    def test_flops_counts_matmul(self):
+        f = lambda x: x @ x
+        x = jnp.zeros((64, 64))
+        fl = flops_of(f, x)
+        assert fl >= 2 * 64**3 * 0.9
