@@ -1,0 +1,198 @@
+"""ctypes bindings for the native IO runtime (runtime/pvtio.cpp).
+
+Auto-builds ``libpvtio.so`` with g++ on first use (cached).  Every entry
+point has a pure-Python fallback, so the framework works without a
+toolchain; the native path is the production input pipeline:
+
+* ``decode_resize``     — libjpeg/libpng decode + bilinear shorter-side
+                          resize + center crop (one C call per image)
+* ``NativeTsvLoader``   — threaded prefetching batch loader over TSV
+                          shards (the re-design of the reference's missing
+                          full_shot ``dataset`` package + DataLoader
+                          workers; SURVEY §2.3 'MISSING: dataset package')
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_RUNTIME_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "runtime",
+)
+_SO_PATH = os.path.join(_RUNTIME_DIR, "libpvtio.so")
+
+_lib = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_SO_PATH):
+        src = os.path.join(_RUNTIME_DIR, "pvtio.cpp")
+        if not os.path.exists(src):
+            _build_failed = True
+            return None
+        try:
+            subprocess.run(
+                ["make", "-C", _RUNTIME_DIR],
+                check=True,
+                capture_output=True,
+                text=True,
+            )
+        except Exception as e:  # pragma: no cover - toolchain missing
+            logger.warning("pvtio build failed (%s); using Python IO", e)
+            _build_failed = True
+            return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.pvtio_decode_resize.restype = ctypes.c_int
+    lib.pvtio_decode_resize.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.pvtio_loader_create.restype = ctypes.c_void_p
+    lib.pvtio_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.pvtio_loader_num_samples.restype = ctypes.c_int64
+    lib.pvtio_loader_num_samples.argtypes = [ctypes.c_void_p]
+    lib.pvtio_loader_start_epoch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.pvtio_loader_num_batches.restype = ctypes.c_int64
+    lib.pvtio_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.pvtio_loader_next.restype = ctypes.c_int
+    lib.pvtio_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.pvtio_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_resize(image_bytes: bytes, size: int) -> Optional[np.ndarray]:
+    """JPEG/PNG bytes -> (size, size, 3) uint8; None if undecodable."""
+    lib = _load()
+    if lib is None:
+        from io import BytesIO
+
+        from PIL import Image
+
+        from .transforms import resize_center_crop
+
+        try:
+            return resize_center_crop(Image.open(BytesIO(image_bytes)), size)
+        except Exception:
+            return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.pvtio_decode_resize(
+        image_bytes,
+        len(image_bytes),
+        size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+class NativeTsvLoader:
+    """Threaded prefetching loader over base64-TSV shards.
+
+    Yields (images_u8 (B, S, S, 3), labels (B,), count) per batch; the
+    final partial batch reports count < B (padding rows are zeros).
+    """
+
+    def __init__(
+        self,
+        shard_paths: Sequence[str],
+        image_size: int = 224,
+        batch_size: int = 64,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        ring_slots: int = 4,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native runtime unavailable; use data.registry.load_tsv"
+            )
+        self._lib = lib
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.num_threads = num_threads
+        arr = (ctypes.c_char_p * len(shard_paths))(
+            *[p.encode() for p in shard_paths]
+        )
+        self._handle = lib.pvtio_loader_create(
+            arr,
+            len(shard_paths),
+            image_size,
+            batch_size,
+            1 if shuffle else 0,
+            seed,
+            num_threads,
+            ring_slots,
+        )
+        if not self._handle:
+            raise RuntimeError("pvtio_loader_create failed")
+
+    def __len__(self) -> int:
+        return int(self._lib.pvtio_loader_num_samples(self._handle))
+
+    def epoch(self, epoch: int = 0):
+        """Iterate one epoch of batches."""
+        lib = self._lib
+        lib.pvtio_loader_start_epoch(self._handle, epoch, self.num_threads)
+        nb = int(lib.pvtio_loader_num_batches(self._handle))
+        s = self.image_size
+        for _ in range(nb):
+            x = np.empty((self.batch_size, s, s, 3), np.uint8)
+            y = np.empty((self.batch_size,), np.int64)
+            count = lib.pvtio_loader_next(
+                self._handle,
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                y.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if count < 0:
+                return
+            yield x, y, count
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.pvtio_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
