@@ -30,9 +30,10 @@ logger = logging.getLogger(__name__)
 
 def logistic_main(cfg, out_dir: str) -> float:
     splits = construct_splits(cfg)
-    model, params, _ = build_image_classifier(
+    model, variables, _ = build_image_classifier(
         cfg, PEFTSpec(), splits.num_classes
     )
+    params = variables["params"]
 
     def encode_image(x):
         return model.backbone.apply(

@@ -55,9 +55,10 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     num_classes = splits.num_classes
     criterion = bce_per_example if splits.multilabel else ce_per_example
 
-    model, params, encode_text = build_image_classifier(
+    model, variables, encode_text = build_image_classifier(
         cfg, spec, num_classes
     )
+    params = variables["params"]
     if bool(cfg.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER) and encode_text:
         text_feats = extract_text_features(encode_text, cfg)
         scale = (

@@ -29,9 +29,10 @@ logger = logging.getLogger(__name__)
 def train_main(cfg) -> float:
     spec = spec_from_config(cfg)
     splits = construct_splits(cfg)
-    model, params, _ = build_image_classifier(
+    model, variables, _ = build_image_classifier(
         cfg, spec, splits.num_classes
     )
+    params = variables["params"]
 
     method = cfg.PEFT.METHOD if cfg.PEFT.METHOD != "none" else "full"
     num_layers = getattr(model.backbone, "layers", 12)
@@ -40,7 +41,14 @@ def train_main(cfg) -> float:
 
     batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU) * jax.device_count()
     steps_per_epoch = max(len(splits.y_train) // batch, 1)
-    trainer = Trainer(cfg, model, params, mask, steps_per_epoch)
+    trainer = Trainer(
+        cfg,
+        model,
+        params,
+        mask,
+        steps_per_epoch,
+        batch_stats=variables.get("batch_stats"),
+    )
 
     def train_batches(epoch):
         return batch_iterator(

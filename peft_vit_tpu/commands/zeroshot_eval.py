@@ -29,9 +29,10 @@ logger = logging.getLogger(__name__)
 
 def zeroshot_main(cfg) -> float:
     splits = construct_splits(cfg, test_split_only=True)
-    model, params, encode_text = build_image_classifier(
+    model, variables, encode_text = build_image_classifier(
         cfg, PEFTSpec(), splits.num_classes
     )
+    params = variables["params"]
     if encode_text is None:
         raise ValueError(
             "zero-shot evaluation needs a CLIP checkpoint with a text "

@@ -44,6 +44,7 @@ class FullTrainState(NamedTuple):
     step: jax.Array
     ema: Optional[EmaState]
     swa: Optional[SwaState]
+    batch_stats: Any = None  # live-BN running stats (CNN backbones)
 
 
 class Trainer:
@@ -58,6 +59,7 @@ class Trainer:
         steps_per_epoch: int,
         mesh=None,
         rng: Optional[jax.Array] = None,
+        batch_stats: Any = None,
     ):
         from ..peft.masks import split_params
 
@@ -66,6 +68,7 @@ class Trainer:
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.steps_per_epoch = steps_per_epoch
         self.mesh = mesh
+        self.has_bn = bool(batch_stats)
 
         trainable, frozen = split_params(params, mask)
         self.frozen = frozen
@@ -85,6 +88,7 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             ema=ema,
             swa=swa,
+            batch_stats=batch_stats if self.has_bn else None,
         )
 
         self.criterion = build_criterion(cfg, train=True)
@@ -113,7 +117,9 @@ class Trainer:
         tx = self.tx
         swa_begin = int(cfg.SWA.BEGIN_EPOCH)
 
-        def loss_fn(trainable, frozen, x, y, rng):
+        has_bn = self.has_bn
+
+        def loss_fn(trainable, frozen, batch_stats, x, y, rng):
             params = merge_params(trainable, frozen)
             if use_mixup:
                 x, y = mixup_cutmix(
@@ -126,17 +132,24 @@ class Trainer:
                     switch_prob=float(aug.MIXUP_SWITCH_PROB),
                     smoothing=smoothing,
                 )
-            logits = model.apply(
-                {"params": params}, x, True
-            )
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+                logits, updates = model.apply(
+                    variables, x, True, mutable=["batch_stats"]
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                logits = model.apply(variables, x, True)
+                new_stats = batch_stats
             loss = criterion(logits.astype(jnp.float32), y)
-            return loss, logits
+            return loss, (logits, new_stats)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
-            (loss, logits), grads = grad_fn(
-                state.trainable, frozen, x, y, rng
+            (loss, (logits, new_stats)), grads = grad_fn(
+                state.trainable, frozen, state.batch_stats, x, y, rng
             )
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.trainable
@@ -154,15 +167,18 @@ class Trainer:
                     swa,
                 )
             new_state = FullTrainState(
-                trainable, opt_state, state.step + 1, ema, swa
+                trainable, opt_state, state.step + 1, ema, swa, new_stats
             )
             return new_state, loss, logits
 
         return jax.jit(train_step, donate_argnums=(0,))
 
-    def _eval_fn(self, trainable, frozen, x):
+    def _eval_fn(self, trainable, frozen, batch_stats, x):
         params = merge_params(trainable, frozen)
-        return self.model.apply({"params": params}, x, False)
+        variables = {"params": params}
+        if self.has_bn:
+            variables["batch_stats"] = batch_stats
+        return self.model.apply(variables, x, False)
 
     # -- host loop ------------------------------------------------------------
 
@@ -226,7 +242,7 @@ class Trainer:
         correct = total = 0
         for x, y in batches:
             logits = self._eval_step(
-                trainable, self.frozen, jnp.asarray(x)
+                trainable, self.frozen, self.state.batch_stats, jnp.asarray(x)
             )
             pred = np.asarray(jnp.argmax(logits, -1))
             correct += int((pred == np.asarray(y)).sum())

@@ -46,6 +46,32 @@ def is_swin_model(cfg) -> bool:
     return "swin" in name or vm == "swin"
 
 
+def is_resnet_model(cfg) -> bool:
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return "resnet" in name or "resnext" in name or vm == "resnet"
+
+
+def _build_resnet_backbone(cfg, dtype):
+    """cls_resnet family (reference lib/models/cls_resnet*.py); variants
+    selected by MODEL.SPEC.VISION keys."""
+    from .resnet import ResNet
+
+    s = cfg.MODEL.SPEC.VISION
+    return ResNet(
+        layers=tuple(s.get("LAYERS_PER_STAGE", (3, 4, 6, 3))),
+        width=int(s.get("STEM_WIDTH", 64)),
+        version=str(s.get("VERSION", "v1")),
+        cardinality=int(s.get("CARDINALITY", 1)),
+        base_width=int(s.get("BASE_WIDTH", 64)),
+        se_ratio=float(s.get("SE_RATIO", 0.0)),
+        deep_stem=bool(s.get("DEEP_STEM", False)),
+        avg_down=bool(s.get("AVG_DOWN", False)),
+        frozen_bn=bool(s.get("FROZEN_BN", False)),
+        dtype=dtype,
+    )
+
+
 def _build_swin_backbone(cfg, spec: PEFTSpec, output_dim, dtype, use_flash):
     """cls_swin / clip_swin visual tower (reference models/cls_swin.py:20-713,
     clip_swin.py:24-284)."""
@@ -78,10 +104,11 @@ def _dtype(cfg):
 def build_image_classifier(
     cfg, spec: PEFTSpec, num_classes: int, rng: Optional[jax.Array] = None
 ) -> Tuple[ImageClassifier, dict, Optional[Callable]]:
-    """Returns (model, params, encode_text_fn or None).
+    """Returns (model, variables, encode_text_fn or None).
 
-    params are initialized and, when MODEL.PRETRAINED points at a torch
-    checkpoint, grafted with converted weights (PEFT leaves stay fresh).
+    ``variables`` = {'params': ..., possibly 'batch_stats': ...} —
+    initialized and, when MODEL.PRETRAINED points at a torch checkpoint,
+    grafted with converted weights (PEFT leaves stay fresh).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     dtype = _dtype(cfg)
@@ -139,7 +166,8 @@ def build_image_classifier(
             dtype=dtype,
         )
         x0 = jnp.zeros((1, info["image_size"], info["image_size"], 3))
-        params = model.init(rng, x0)["params"]
+        variables = dict(model.init(rng, x0))
+        params = variables["params"]
         if sd is not None and "visual.conv1.weight" in sd:
             flat_src = clip_state_dict_to_tree(sd)
             visual_src = {
@@ -177,7 +205,9 @@ def build_image_classifier(
 
     else:
         s = cfg.MODEL.SPEC
-        if is_swin_model(cfg):
+        if is_resnet_model(cfg):
+            backbone = _build_resnet_backbone(cfg, dtype)
+        elif is_swin_model(cfg):
             backbone = _build_swin_backbone(
                 cfg, spec, None, dtype, use_flash
             )
@@ -199,8 +229,9 @@ def build_image_classifier(
             backbone=backbone, num_classes=num_classes, dtype=dtype
         )
         x0 = jnp.zeros((1, size, size, 3))
-        params = model.init(rng, x0)["params"]
-        if sd is not None:
+        variables = dict(model.init(rng, x0))
+        params = variables["params"]
+        if sd is not None and not is_resnet_model(cfg):
             params, missing = graft(
                 params,
                 {
@@ -214,7 +245,8 @@ def build_image_classifier(
                 len(missing),
             )
 
-    return model, params, encode_text
+    variables["params"] = params
+    return model, variables, encode_text
 
 
 def init_head_from_text(

@@ -1,0 +1,130 @@
+"""Auxiliary subsystem tests: retrieval, ReaL labels, submission, custom
+datasets, ResNet-in-trainer, eval orchestrator glue."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from peft_vit_tpu.engine.retrieval import (
+    FakedImageCaptionModel,
+    image_caption_eval,
+    real_labels_accuracy,
+    retrieval_metrics,
+    valid_labels_accuracy,
+)
+from peft_vit_tpu.utils.submission import (
+    PredictionSubmission,
+    submit_predictions,
+)
+from peft_vit_tpu.data.custom import (
+    CHESTX_CLASSES,
+    VOC_CLASSES,
+    chestxray8,
+    voc2007_classification,
+)
+
+
+class TestRetrieval:
+    def test_perfect_pairs(self):
+        f = np.eye(8, dtype=np.float32)
+        m = retrieval_metrics(f, f)
+        assert m["i2t_R@1"] == 100.0 and m["t2i_R@1"] == 100.0
+        assert m["i2t_median_rank"] == 1.0
+
+    def test_shuffled_worse(self):
+        rng = np.random.RandomState(0)
+        img = rng.randn(16, 8).astype(np.float32)
+        txt = img + rng.randn(16, 8).astype(np.float32) * 0.01
+        m_good = retrieval_metrics(img, txt)
+        m_bad = retrieval_metrics(img, txt[::-1])
+        assert m_good["i2t_R@1"] > m_bad["i2t_R@1"]
+
+
+class TestRealLabels:
+    def test_multi_acceptable(self):
+        scores = np.asarray([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]])
+        real = [[0, 1], [0], []]  # third image: no labels -> skipped
+        acc = real_labels_accuracy(scores, real)
+        assert acc == 50.0  # 1st hits, 2nd misses, 3rd skipped
+
+    def test_valid_labels_subset(self):
+        scores = np.asarray(
+            [[5.0, 1.0, 9.0], [1.0, 2.0, 0.0]], np.float32
+        )
+        # restrict to classes {0, 1}: argmax of col subset
+        acc = valid_labels_accuracy(scores, np.asarray([0, 1]), [0, 1])
+        assert acc == 100.0
+
+
+class TestCaption:
+    def test_fake_model_plumbing(self):
+        model = FakedImageCaptionModel("a photo of food")
+        m = image_caption_eval(
+            model,
+            [None, None],
+            [["a photo of food"], ["something else entirely"]],
+        )
+        assert 0.0 < m["bleu1"] <= 100.0
+
+
+class TestSubmission:
+    def test_roundtrip(self, tmp_path):
+        sub = PredictionSubmission(
+            dataset_name="cifar-10",
+            model_name="vitb32_CLIP",
+            task="classification_multiclass",
+            predictions=[[0.1, 0.9], [0.8, 0.2]],
+            num_shots=5,
+        )
+        p = str(tmp_path / "sub.json")
+        submit_predictions(sub, p)
+        back = PredictionSubmission.load(p)
+        assert back.dataset_name == "cifar-10"
+
+    def test_rejects_bad(self):
+        with pytest.raises(ValueError):
+            PredictionSubmission(
+                dataset_name="x",
+                model_name="m",
+                task="segmentation",
+                predictions=[[0.0]],
+            ).validate()
+        with pytest.raises(ValueError):
+            PredictionSubmission(
+                dataset_name="x",
+                model_name="m",
+                task="classification_multiclass",
+                predictions=[[float("nan")]],
+            ).validate()
+
+
+class TestCustomDatasets:
+    def test_voc_parsing(self, tmp_path):
+        main = tmp_path / "ImageSets" / "Main"
+        main.mkdir(parents=True)
+        (main / "aeroplane_train.txt").write_text(
+            "img001  1\nimg002 -1\nimg003  0\n"
+        )
+        (main / "dog_train.txt").write_text(
+            "img001 -1\nimg002  1\nimg003 -1\n"
+        )
+        paths, labels = voc2007_classification(str(tmp_path), "train")
+        assert len(paths) == 3
+        aero = VOC_CLASSES.index("aeroplane")
+        dog = VOC_CLASSES.index("dog")
+        assert labels[0, aero] == 1 and labels[0, dog] == 0
+        assert labels[1, dog] == 1
+        assert labels[2, aero] == 1  # difficult (0) counts positive
+
+    def test_chestx_parsing(self, tmp_path):
+        (tmp_path / "Data_Entry_2017.csv").write_text(
+            "Image Index,Finding Labels,other\n"
+            "a.png,Cardiomegaly|Effusion,x\n"
+            "b.png,No Finding,x\n"
+        )
+        paths, labels = chestxray8(str(tmp_path), "train")
+        assert len(paths) == 2
+        assert labels[0, CHESTX_CLASSES.index("Cardiomegaly")] == 1
+        assert labels[1].sum() == 0
