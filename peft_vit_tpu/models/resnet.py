@@ -53,9 +53,13 @@ class FrozenBatchNorm(nn.Module):
         )
 
 
-def _norm(frozen_bn: bool, name: str, dtype, axis_name=None):
-    if frozen_bn:
+def _norm(norm_kind, name: str, dtype, axis_name=None):
+    """norm_kind: True/'frozen' -> FrozenBatchNorm; 'gn' -> GroupNorm(32)
+    (BiT / cls_resnet_v2_ws_gn); False/'bn' -> BatchNorm."""
+    if norm_kind is True or norm_kind == "frozen":
         return FrozenBatchNorm(name=name, dtype=dtype)
+    if norm_kind == "gn":
+        return _GroupNormLazy(name, dtype)
     return nn.BatchNorm(
         use_running_average=None,
         momentum=0.9,
@@ -64,6 +68,38 @@ def _norm(frozen_bn: bool, name: str, dtype, axis_name=None):
         dtype=dtype,
         axis_name=axis_name,
     )
+
+
+class _GroupNormLazy:
+    """GroupNorm with groups chosen from the channel count at call time
+    (32 when divisible, else the largest divisor <= 32); ignores the
+    use_running_average kwarg so call sites stay uniform."""
+
+    def __init__(self, name, dtype):
+        self.name = name
+        self.dtype = dtype
+
+    def __call__(self, x, use_running_average=None):
+        c = x.shape[-1]
+        g = min(32, c)
+        while c % g:
+            g -= 1
+        return nn.GroupNorm(
+            num_groups=g, epsilon=1e-5, name=self.name, dtype=self.dtype
+        )(x)
+
+
+class StdConv(nn.Conv):
+    """Weight-standardized conv (BiT; cls_resnet_v2_ws_gn): kernel is
+    standardized over (kh, kw, in) before the convolution."""
+
+    def param(self, name, *args, **kwargs):
+        p = super().param(name, *args, **kwargs)
+        if name == "kernel":
+            m = jnp.mean(p, axis=(0, 1, 2), keepdims=True)
+            v = jnp.var(p, axis=(0, 1, 2), keepdims=True)
+            p = (p - m) * jax.lax.rsqrt(v + 1e-10)
+        return p
 
 
 class SqueezeExcite(nn.Module):
@@ -92,6 +128,8 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     se_ratio: float = 0.0
     frozen_bn: bool = False
+    norm: str = "bn"  # 'bn' | 'gn' | 'frozen'
+    weight_standardization: bool = False
     avg_down: bool = False  # ResNet-D downsampling
     bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -107,13 +145,16 @@ class Bottleneck(nn.Module):
         in_ch = x.shape[-1]
         needs_proj = self.stride != 1 or in_ch != self.out_channels
 
+        kind = "frozen" if self.frozen_bn else self.norm
+
         def apply_norm(h, name):
-            m = _norm(self.frozen_bn, name, self.dtype, self.bn_axis_name)
-            if self.frozen_bn:
+            m = _norm(kind, name, self.dtype, self.bn_axis_name)
+            if kind in (True, "frozen"):
                 return m(h)
             return m(h, use_running_average=not train)
 
-        conv = lambda ch, k, s, name, groups=1: nn.Conv(
+        conv_cls = StdConv if self.weight_standardization else nn.Conv
+        conv = lambda ch, k, s, name, groups=1: conv_cls(
             ch,
             (k, k),
             strides=(s, s),
@@ -186,6 +227,8 @@ class ResNet(nn.Module):
     deep_stem: bool = False
     avg_down: bool = False
     frozen_bn: bool = False
+    norm: str = "bn"  # 'bn' | 'gn' | 'frozen'
+    weight_standardization: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -194,12 +237,14 @@ class ResNet(nn.Module):
         self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         train = not deterministic
+        kind = "frozen" if self.frozen_bn else self.norm
+        conv_cls = StdConv if self.weight_standardization else nn.Conv
         x = x.astype(self.dtype)
         if self.deep_stem:
             for i, ch in enumerate(
                 (self.width // 2, self.width // 2, self.width)
             ):
-                x = nn.Conv(
+                x = conv_cls(
                     ch,
                     (3, 3),
                     strides=(2, 2) if i == 0 else (1, 1),
@@ -209,15 +254,15 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                 )(x)
                 m = _norm(
-                    self.frozen_bn, f"stem_bn{i + 1}", self.dtype,
+                    kind, f"stem_bn{i + 1}", self.dtype,
                     self.bn_axis_name,
                 )
-                x = m(x) if self.frozen_bn else m(
+                x = m(x) if kind in (True, "frozen") else m(
                     x, use_running_average=not train
                 )
                 x = nn.relu(x)
         else:
-            x = nn.Conv(
+            x = conv_cls(
                 self.width,
                 (7, 7),
                 strides=(2, 2),
@@ -226,8 +271,8 @@ class ResNet(nn.Module):
                 name="conv1",
                 dtype=self.dtype,
             )(x)
-            m = _norm(self.frozen_bn, "bn1", self.dtype, self.bn_axis_name)
-            x = m(x) if self.frozen_bn else m(
+            m = _norm(kind, "bn1", self.dtype, self.bn_axis_name)
+            x = m(x) if kind in (True, "frozen") else m(
                 x, use_running_average=not train
             )
             x = nn.relu(x)
@@ -244,6 +289,8 @@ class ResNet(nn.Module):
                     base_width=self.base_width,
                     se_ratio=self.se_ratio,
                     frozen_bn=self.frozen_bn,
+                    norm=self.norm,
+                    weight_standardization=self.weight_standardization,
                     avg_down=self.avg_down,
                     bn_axis_name=self.bn_axis_name,
                     name=f"layer{si + 1}_block{bi}",
@@ -252,10 +299,8 @@ class ResNet(nn.Module):
             ch *= 2
 
         if self.version == "v2":
-            m = _norm(
-                self.frozen_bn, "bn_final", self.dtype, self.bn_axis_name
-            )
-            x = m(x) if self.frozen_bn else m(
+            m = _norm(kind, "bn_final", self.dtype, self.bn_axis_name)
+            x = m(x) if kind in (True, "frozen") else m(
                 x, use_running_average=not train
             )
             x = nn.relu(x)
@@ -276,6 +321,18 @@ def resnext50_32x4d(**kw) -> ResNet:
 
 def resnext101_64x4d(**kw) -> ResNet:
     return ResNet(layers=(3, 4, 23, 3), cardinality=64, base_width=4, **kw)
+
+
+def bit_resnet50(**kw) -> ResNet:
+    """BiT-R50: pre-act v2 + GroupNorm + weight standardization
+    (cls_bit_resnet / cls_resnet_v2_ws_gn)."""
+    return ResNet(
+        layers=(3, 4, 6, 3),
+        version="v2",
+        norm="gn",
+        weight_standardization=True,
+        **kw,
+    )
 
 
 def se_resnext50_32x4d(**kw) -> ResNet:
