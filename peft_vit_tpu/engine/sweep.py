@@ -77,12 +77,41 @@ class SweepEngine:
         self.batch_size = batch_size or int(cfg.TRAIN.BATCH_SIZE_PER_GPU)
         self.schedule = tuple(int(m) for m in cfg.TRAIN.SCHEDULE)
 
+        lr_scale = None
+        if bool(cfg.TRAIN.TWO_LR):
+            # backbone at 0.1x lr, head at lr (optim/build.py:102-117)
+            from flax import traverse_util
+
+            flat = traverse_util.flatten_dict(
+                jax.tree_util.tree_map(lambda _: 0, frozen), sep="/"
+            )
+            del flat  # structure comes from the trainable template below
+
+            def scale_like(trainable):
+                f = traverse_util.flatten_dict(trainable, sep="/")
+                out = {
+                    k: (
+                        None
+                        if v is None
+                        else jnp.asarray(
+                            1.0 if k.startswith("classifier/") else 0.1,
+                            jnp.float32,
+                        )
+                    )
+                    for k, v in f.items()
+                }
+                return traverse_util.unflatten_dict(out, sep="/")
+
+            lr_scale = scale_like(
+                init_trainable(jax.random.PRNGKey(0))
+            )
         epoch_fn = make_epoch_fn(
             apply_fn,
             criterion,
             self.batch_size,
             momentum=float(cfg.TRAIN.MOMENTUM),
             nesterov=bool(cfg.TRAIN.NESTEROV),
+            lr_scale=lr_scale,
         )
         eval_fn = make_eval_fn(apply_fn, self.batch_size)
         # vmap over cells: state/lr/wd are per-cell, data+frozen shared.

@@ -78,25 +78,37 @@ def sgd_update(
     wd: jax.Array,
     momentum: float = 0.9,
     nesterov: bool = True,
+    lr_scale=None,
 ) -> TrainCellState:
     """torch.optim.SGD: g += wd*p; buf = mu*buf + g;
-    step uses g + mu*buf when nesterov else buf."""
+    step uses g + mu*buf when nesterov else buf.
+
+    lr_scale: optional per-leaf multiplier pytree — TRAIN.TWO_LR uses 0.1
+    on backbone leaves (optim/build.py:102-117)."""
     buf_new = jax.tree_util.tree_map(
         lambda g, p, b: momentum * b + (g + wd * p),
         grads,
         state.trainable,
         state.opt.momentum,
     )
-    if nesterov:
+
+    def step_of(g, p, b):
+        return (g + wd * p) + momentum * b if nesterov else b
+
+    if lr_scale is None:
         p_new = jax.tree_util.tree_map(
-            lambda g, p, b: p - lr * ((g + wd * p) + momentum * b),
+            lambda g, p, b: p - lr * step_of(g, p, b),
             grads,
             state.trainable,
             buf_new,
         )
     else:
         p_new = jax.tree_util.tree_map(
-            lambda p, b: p - lr * b, state.trainable, buf_new
+            lambda g, p, b, s: p - (lr * s) * step_of(g, p, b),
+            grads,
+            state.trainable,
+            buf_new,
+            lr_scale,
         )
     return TrainCellState(p_new, SgdState(buf_new), state.step + 1)
 
@@ -115,6 +127,7 @@ def make_epoch_fn(
     batch_size: int,
     momentum: float = 0.9,
     nesterov: bool = True,
+    lr_scale=None,
 ):
     """One training epoch over device-resident arrays as a lax.scan.
 
@@ -140,7 +153,9 @@ def make_epoch_fn(
             by = jnp.take(y, idx, axis=0)
             bv = jnp.take(valid, idx, axis=0)
             loss, grads = grad_fn(st.trainable, frozen, bx, by, bv)
-            st = sgd_update(grads, st, lr, wd, momentum, nesterov)
+            st = sgd_update(
+                grads, st, lr, wd, momentum, nesterov, lr_scale
+            )
             return st, loss
 
         state, losses = jax.lax.scan(body, state, idxs)

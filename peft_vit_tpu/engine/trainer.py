@@ -65,6 +65,11 @@ class Trainer:
 
         self.cfg = cfg
         self.model = model
+        if bool(cfg.TRAIN.DETECT_ANOMALY):
+            # torch.autograd.set_detect_anomaly analog (tools/train.py:159)
+            from ..utils.profiling import enable_anomaly_detection
+
+            enable_anomaly_detection(True)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.steps_per_epoch = steps_per_epoch
         self.mesh = mesh

@@ -165,6 +165,14 @@ class Adapter(nn.Module):
         return y + residual
 
 
+def _fit_phm_dim(requested: int, *features: int) -> int:
+    """Largest n <= requested dividing every feature dim."""
+    n = max(min([requested, *features]), 1)
+    while any(f % n for f in features):
+        n -= 1
+    return n
+
+
 class PHMDense(nn.Module):
     """PHM linear layer (Compacter building block).
 
@@ -231,11 +239,16 @@ class CompacterAdapter(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         down_size = self.width // self.reduction
+        # phm_dim must divide both features; shrink to the largest common
+        # divisor when the tower is narrower than the reference's 768
+        # (the reference would simply assert).
+        phm_down = _fit_phm_dim(self.phm_dim_down, self.width, down_size)
+        phm_up = _fit_phm_dim(self.phm_dim_up, down_size, self.width)
         y = LayerNorm(name="adapter_norm_before", param_dtype=self.param_dtype)(x)
         y = PHMDense(
             self.width,
             down_size,
-            self.phm_dim_down,
+            phm_down,
             name="down_phm",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -244,7 +257,7 @@ class CompacterAdapter(nn.Module):
         y = PHMDense(
             down_size,
             self.width,
-            self.phm_dim_up,
+            phm_up,
             name="up_phm",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -318,6 +331,39 @@ class MultiHeadAttention(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                 )(x)
+                if spec.lora_moe:
+                    # MoE gating over rank groups (adapter_forward,
+                    # lora_model.py:491-515): g = act(x @ G) * lambda,
+                    # optionally softmaxed; the rank axis is viewed as
+                    # (num_expert, group) and scaled per expert.
+                    num_expert = max(
+                        spec.lora_rank // spec.lora_moe_group, 1
+                    )
+                    g = nn.Dense(
+                        num_expert,
+                        use_bias=False,
+                        name=f"{t}_moe_adapter1",
+                        kernel_init=bert_init(),
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                    )(x)
+                    if spec.lora_moe_act == "sigmoid":
+                        g = jax.nn.sigmoid(g)
+                    elif spec.lora_moe_act == "tanh":
+                        g = jnp.tanh(g)
+                    elif spec.lora_moe_act == "relu":
+                        g = jax.nn.relu(g)
+                    g = g * spec.lora_moe_lambda
+                    if spec.lora_moe_softmax:
+                        g = jax.nn.softmax(g, axis=-1)
+                    a = (
+                        a.reshape(
+                            *a.shape[:-1],
+                            num_expert,
+                            spec.lora_moe_group,
+                        )
+                        * g[..., None]
+                    ).reshape(*a.shape)
                 deltas[t] = (
                     nn.Dense(
                         d,
@@ -379,6 +425,21 @@ class MultiHeadAttention(nn.Module):
         if "v" in deltas:
             v = v + deltas["v"]
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+
+        if spec.attn_adapter == "shared_qkv":
+            # one head-dim bottleneck adapter shared by q, k, v
+            # (cls_vit_lora_adapter.py:175-194: Adapter(64) on each)
+            qkv_adapter = Adapter(
+                hd,
+                hd // 2,
+                act="relu",
+                name="qkv_adapter",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+            qh = qkv_adapter(qh)
+            kh = qkv_adapter(kh)
+            vh = qkv_adapter(vh)
 
         bias = None
         if spec.attn_bias == "rpb":

@@ -54,6 +54,16 @@ def _method_predicate(
         return lambda p: "adapter" in p
     if method == "lora_fix_one":
         return lambda p: "adapter1" in p
+    if method in ("lora_moe", "lora_adapter", "lora_drop_adapter"):
+        return lambda p: "adapter" in p or "moe" in p
+    if method == "lora_compacter":
+        return lambda p: "adapter" in p or "compacter" in p
+    if method == "first_attention":
+        # finetune_1st_attention.py:169: 'blocks.1.attn'
+        return lambda p: "blocks_1/attn" in p
+    if method == "first_mlp":
+        # finetune_1st_mlp.py:171: 'blocks.1.mlp'
+        return lambda p: "blocks_1/mlp" in p
     if method in ("adapter", "adapterdrop"):
         return lambda p: "/adapter/" in p
     if method == "compacter":

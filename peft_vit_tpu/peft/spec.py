@@ -52,6 +52,16 @@ class PEFTSpec:
     # effective extra sqrt(d) gain.  True reproduces that; False applies the
     # textbook pre-scale delta (used by the supervised-ViT methods).
     lora_post_scale_q: bool = False
+    # LoRA-MoE gating (dormant in the reference: lora_moe=0 hardcoded at
+    # lora_model.py:463; fully functional here)
+    lora_moe: bool = False
+    lora_moe_group: int = 2
+    lora_moe_act: str = "linear"  # linear|sigmoid|tanh|relu
+    lora_moe_softmax: bool = False
+    lora_moe_lambda: float = 1.0
+    # shared bottleneck adapter on per-head q/k/v
+    # (cls_vit_lora_adapter.py:175-194: Adapter(head_dim) applied to q,k,v)
+    attn_adapter: str = "none"  # 'none' | 'shared_qkv'
     phm_dim: int = 4
     phm_rank: int = 1
 
@@ -110,6 +120,15 @@ _METHOD_ALIASES = {
     "lora": "lora",
     "lora_clip": "lora",
     "lora_fix_one": "lora_fix_one",
+    "lora_moe": "lora_moe",
+    "lora_adapter": "lora_adapter",
+    "lora_compacter": "lora_compacter",
+    "lora_drop_adapter": "lora_drop_adapter",
+    "adapterdrop_lora": "lora_drop_adapter",
+    "first_attention": "first_attention",
+    "1st_attention": "first_attention",
+    "first_mlp": "first_mlp",
+    "1st_mlp": "first_mlp",
     "adapter": "adapter",
     "adapter_clip": "adapter",
     "adapterdrop": "adapterdrop",
@@ -164,17 +183,29 @@ def spec_from_config(cfg) -> PEFTSpec:
         prompt_deep=bool(p.PROMPT_DEEP),
     )
 
-    if method in ("lora", "lora_fix_one"):
+    if method in (
+        "lora",
+        "lora_fix_one",
+        "lora_moe",
+        "lora_adapter",
+        "lora_compacter",
+        "lora_drop_adapter",
+    ):
         kw["attn_delta"] = "lora"
+        if method == "lora_moe":
+            kw["lora_moe"] = True
     elif method == "kadaptation":
         kw["attn_delta"] = "kron"
-    if method in ("adapter", "adapterdrop"):
+    if method in ("adapter", "adapterdrop", "lora_drop_adapter"):
         kw["adapter"] = "houlsby"
-        if method == "adapterdrop":
+        if method in ("adapterdrop", "lora_drop_adapter"):
             layers = tuple(p.ADAPTER_LAYERS) or (11,)
             kw["adapter_layers"] = layers
-    elif method == "compacter":
+    elif method in ("compacter", "lora_compacter"):
         kw["adapter"] = "compacter"
+    if method == "lora_adapter":
+        # reference cls_vit_lora_adapter: shared head-dim adapter on q/k/v
+        kw["attn_adapter"] = "shared_qkv"
     if method == "rpb":
         kw["attn_bias"] = "rpb"
     if method == "lepe":
