@@ -84,21 +84,35 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
         num_layers=num_layers,
         train_head=bool(cfg.PEFT.TRAIN_HEAD),
         extra_regex=str(cfg.PEFT.TRAINABLE_REGEX),
+        adapter_layers=spec.adapter_layers,
     )
     logger.info("trainable:\n%s", describe_mask(params, mask))
     log_trainable_params(count_trainable(params, mask))
     trainable0, frozen = split_params(params, mask)
 
+    # captured eagerly: `splits` may be rebound to token arrays by the
+    # cached-backbone path below, but init always runs the image path
+    init_shape = tuple(splits.x_train.shape[1:])
+
     def init_trainable(rng):
         # fresh PEFT/head leaves per sweep cell (the reference builds a
         # fresh Classifier per cell, adapter_tuning_clip.py:231)
-        p = model.init(
-            rng, jnp.zeros((1, *splits.x_train.shape[1:]))
-        )["params"]
+        p = model.init(rng, jnp.zeros((1, *init_shape)))["params"]
         t, _ = split_params(p, mask)
         return t
 
     apply_fn = lambda v, x, train: model.apply(v, x, train)
+
+    # cached-backbone sweep: precompute frozen activations through the
+    # deepest all-frozen prefix and train only the suffix (engine/cached.py)
+    from ..engine.cached import maybe_cache_prefix
+
+    cached = maybe_cache_prefix(
+        cfg, model, params, mask, num_layers, splits
+    )
+    if cached is not None:
+        apply_fn, splits, _cut = cached
+
     engine = SweepEngine(
         cfg, apply_fn, init_trainable, frozen, criterion
     )

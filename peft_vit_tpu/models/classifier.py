@@ -91,9 +91,19 @@ class ImageClassifier(nn.Module):
 
     @nn.compact
     def __call__(
-        self, images: jax.Array, train: bool = False
+        self,
+        images: jax.Array,
+        train: bool = False,
+        start_layer: int = 0,
     ) -> jax.Array:
-        feats = self.backbone(images, not train)
+        if start_layer > 0:
+            # cached-backbone path: `images` are block-(start_layer-1)
+            # tokens (engine/cached.py)
+            feats = self.backbone(
+                images, not train, False, start_layer
+            )
+        else:
+            feats = self.backbone(images, not train)
         return ClassifierHead(
             self.num_classes,
             use_bn=self.use_bn,

@@ -64,12 +64,29 @@ class VisionTransformer(nn.Module):
         x: jax.Array,
         deterministic: bool = True,
         return_tokens: bool = False,
+        start_layer: int = 0,
+        stop_layer: Optional[int] = None,
     ):
+        """start_layer > 0: `x` is a token sequence (B, N, width) resuming
+        after block `start_layer - 1` (the cached-backbone sweep path —
+        frozen prefix activations computed once, suffix trained per cell).
+        stop_layer = L: return tokens after block L-1, skipping the head.
+        """
         b = x.shape[0]
         g = self.grid_size
         w = self.width
         spec = self.spec
         act = "quick_gelu" if self.style == "clip" else "gelu"
+
+        if start_layer > 0:
+            return self._blocks_and_head(
+                x.astype(self.dtype),
+                deterministic,
+                return_tokens,
+                start_layer,
+                stop_layer,
+                n_prefix=1 + (spec.prompt_tokens or 0),
+            )
 
         x = x.astype(self.dtype)
         x = nn.Conv(
@@ -134,6 +151,26 @@ class VisionTransformer(nn.Module):
                 compute_fp32=self.ln_fp32,
             )(x)
 
+        return self._blocks_and_head(
+            x, deterministic, return_tokens, 0, stop_layer, n_prefix
+        )
+
+    def _blocks_and_head(
+        self,
+        x: jax.Array,
+        deterministic: bool,
+        return_tokens: bool,
+        start_layer: int,
+        stop_layer: Optional[int],
+        n_prefix: int,
+    ):
+        b = x.shape[0]
+        g = self.grid_size
+        w = self.width
+        spec = self.spec
+        act = "quick_gelu" if self.style == "clip" else "gelu"
+        num_prompts = spec.prompt_tokens
+
         deep_prompts = None
         if num_prompts > 0 and spec.prompt_deep and self.layers > 1:
             deep_prompts = self.param(
@@ -148,8 +185,9 @@ class VisionTransformer(nn.Module):
             block_cls = nn.remat(Block, static_argnums=(2,))
 
         total_blocks = self.layers + (1 if spec.extra_block else 0)
+        end = total_blocks if stop_layer is None else stop_layer
         dpr = np.linspace(0.0, self.drop_path_rate, max(total_blocks, 1))
-        for i in range(total_blocks):
+        for i in range(start_layer, end):
             if deep_prompts is not None and 0 < i < self.layers:
                 x = x.at[:, 1 : 1 + num_prompts, :].set(
                     jnp.broadcast_to(
@@ -173,6 +211,9 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(x, deterministic)
+
+        if stop_layer is not None:
+            return x
 
         if self.style == "clip":
             pooled = LayerNorm(

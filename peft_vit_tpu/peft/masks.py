@@ -30,7 +30,7 @@ def _is_head(path: str) -> bool:
 
 
 def _method_predicate(
-    method: str, num_layers: int
+    method: str, num_layers: int, adapter_layers=None
 ) -> PathPredicate:
     if method in ("none",):
         return lambda p: False
@@ -64,7 +64,17 @@ def _method_predicate(
     if method == "first_mlp":
         # finetune_1st_mlp.py:171: 'blocks.1.mlp'
         return lambda p: "blocks_1/mlp" in p
-    if method in ("adapter", "adapterdrop"):
+    if method == "adapter":
+        return lambda p: "/adapter/" in p
+    if method == "adapterdrop":
+        # Only executing adapters train.  The reference marks EVERY
+        # block's adapter trainable (adapterdrop.py), but skipped blocks
+        # receive exactly zero gradient (their outputs are unused), so
+        # narrowing the mask is mathematically identical — and unlocks
+        # the cached-backbone sweep (engine/cached.py).
+        if adapter_layers:
+            frags = tuple(f"blocks_{i}/adapter/" for i in adapter_layers)
+            return lambda p: any(f in p for f in frags)
         return lambda p: "/adapter/" in p
     if method == "compacter":
         return lambda p: "compacter" in p
@@ -93,9 +103,10 @@ def build_mask(
     num_layers: int = 12,
     train_head: bool = True,
     extra_regex: str = "",
+    adapter_layers=None,
 ) -> Dict[str, Any]:
     """Boolean pytree: True = trainable, matching `params` structure."""
-    pred = _method_predicate(method, num_layers)
+    pred = _method_predicate(method, num_layers, adapter_layers)
     extra = re.compile(extra_regex) if extra_regex else None
     flat = traverse_util.flatten_dict(params, sep="/")
     mask = {}
