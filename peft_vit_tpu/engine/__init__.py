@@ -54,6 +54,12 @@ from .checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from .cached import (
+    first_trainable_layer,
+    make_suffix_apply,
+    maybe_cache_prefix,
+    precompute_prefix_tokens,
+)
 
 __all__ = [
     "ArrayTask",

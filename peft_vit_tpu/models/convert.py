@@ -49,15 +49,23 @@ def infer_clip_shape(sd: Dict[str, Any]) -> Dict[str, int]:
     grid = int(
         round((_np(sd["visual.positional_embedding"]).shape[0] - 1) ** 0.5)
     )
-    embed_dim = _np(sd["text_projection"]).shape[1]
-    text_width = _np(sd["ln_final.weight"]).shape[0]
-    text_layers = len(
-        {
-            k.split(".")[2]
-            for k in sd
-            if k.startswith("transformer.resblocks.")
-        }
-    )
+    has_text = "text_projection" in sd
+    if has_text:
+        embed_dim = _np(sd["text_projection"]).shape[1]
+        text_width = _np(sd["ln_final.weight"]).shape[0]
+        text_layers = len(
+            {
+                k.split(".")[2]
+                for k in sd
+                if k.startswith("transformer.resblocks.")
+            }
+        )
+        vocab_size = int(_np(sd["token_embedding.weight"]).shape[0])
+        context_length = int(_np(sd["positional_embedding"]).shape[0])
+    else:
+        # visual-only export: embed dim from the visual projection
+        embed_dim = _np(sd["visual.proj"]).shape[1]
+        text_width, text_layers, vocab_size, context_length = 0, 0, 0, 0
     return dict(
         embed_dim=int(embed_dim),
         image_size=int(grid * patch),
@@ -65,11 +73,12 @@ def infer_clip_shape(sd: Dict[str, Any]) -> Dict[str, int]:
         vision_width=int(vision_width),
         vision_layers=int(vision_layers),
         vision_heads=max(int(vision_width // 64), 1),
-        vocab_size=int(_np(sd["token_embedding.weight"]).shape[0]),
-        context_length=int(_np(sd["positional_embedding"]).shape[0]),
+        vocab_size=vocab_size,
+        context_length=context_length,
         text_width=int(text_width),
         text_layers=int(text_layers),
         text_heads=max(int(text_width // 64), 1),
+        has_text=has_text,
     )
 
 
@@ -116,19 +125,21 @@ def clip_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
     flat["visual/ln_post/bias"] = _np(sd["visual.ln_post.bias"])
     flat["visual/proj"] = _np(sd["visual.proj"])
 
-    # text tower
-    flat["text/token_embedding/embedding"] = _np(
-        sd["token_embedding.weight"]
-    )
-    flat["text/positional_embedding"] = _np(sd["positional_embedding"])
-    for i in range(info["text_layers"]):
-        blk = _convert_block(sd, f"transformer.resblocks.{i}")
-        for k, v in blk.items():
-            flat[f"text/blocks_{i}/{k}"] = v
-    flat["text/ln_final/scale"] = _np(sd["ln_final.weight"])
-    flat["text/ln_final/bias"] = _np(sd["ln_final.bias"])
-    flat["text/text_projection"] = _np(sd["text_projection"])
-    flat["logit_scale"] = _np(sd["logit_scale"]).reshape(())
+    # text tower (absent in visual-only exports)
+    if info["has_text"]:
+        flat["text/token_embedding/embedding"] = _np(
+            sd["token_embedding.weight"]
+        )
+        flat["text/positional_embedding"] = _np(sd["positional_embedding"])
+        for i in range(info["text_layers"]):
+            blk = _convert_block(sd, f"transformer.resblocks.{i}")
+            for k, v in blk.items():
+                flat[f"text/blocks_{i}/{k}"] = v
+        flat["text/ln_final/scale"] = _np(sd["ln_final.weight"])
+        flat["text/ln_final/bias"] = _np(sd["ln_final.bias"])
+        flat["text/text_projection"] = _np(sd["text_projection"])
+    if "logit_scale" in sd:
+        flat["logit_scale"] = _np(sd["logit_scale"]).reshape(())
     return flat
 
 

@@ -126,6 +126,12 @@ def build_image_classifier(
     if is_clip_model(cfg):
         if sd is not None and "visual.conv1.weight" in sd:
             info = infer_clip_shape(sd)
+            # head count is not recoverable from a state dict (the
+            # width/64 convention is a heuristic); honor an explicit
+            # MODEL.SPEC.VISION.HEADS when given
+            cfg_heads = int(cfg.MODEL.SPEC.VISION.get("HEADS", 0))
+            if cfg_heads:
+                info["vision_heads"] = cfg_heads
         else:
             s = cfg.MODEL.SPEC
             info = dict(
@@ -190,6 +196,9 @@ def build_image_classifier(
                 "=> grafted CLIP visual weights (%d fresh leaves)",
                 len(missing),
             )
+            if not info.get("has_text", True):
+                variables["params"] = params
+                return model, variables, None
             # text tower for zero-shot / head init
             text = TextTransformer(
                 vocab_size=info["vocab_size"],

@@ -5,6 +5,15 @@ from .logging import (
     setup_logger,
 )
 from .results import append_jsonl, read_log_results, summarize
+from .dist import barrier, init_distributed, is_main_process, world_size
+from .profiling import (
+    MetricsWriter,
+    StepTimer,
+    enable_anomaly_detection,
+    trace,
+)
+from .submission import PredictionSubmission, submit_predictions
+from .summary import bytes_accessed_of, flops_of, param_summary
 
 __all__ = [
     "append_jsonl",
