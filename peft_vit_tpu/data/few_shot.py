@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

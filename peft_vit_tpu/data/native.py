@@ -18,7 +18,7 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ import base64
 import dataclasses
 import io
 import os
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

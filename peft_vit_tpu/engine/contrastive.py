@@ -15,12 +15,10 @@ Reference components reproduced:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.collectives import gather_features
 from ..parallel.mesh import DATA_AXIS

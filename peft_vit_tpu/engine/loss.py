@@ -10,8 +10,6 @@ All functions take fp32 logits and return a scalar mean loss.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -19,8 +19,7 @@ memory constraint).
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

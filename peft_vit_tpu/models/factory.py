@@ -21,7 +21,6 @@ import numpy as np
 
 from ..peft.spec import PEFTSpec
 from .classifier import ImageClassifier
-from .clip import CLIP, clip_from_config
 from .convert import (
     clip_state_dict_to_tree,
     graft,

@@ -22,7 +22,7 @@ are computed per-shard and synchronized by ``axis_name`` when given
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Inside ``shard_map``/pjit these lower to XLA collectives over ICI.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from .mesh import DATA_AXIS
 

@@ -10,20 +10,13 @@ replicated params, exactly where DDP called NCCL allreduce.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..engine.train import (
-    PerExampleCriterion,
-    TrainCellState,
-    init_cell_state,
-    sgd_update,
-)
+from ..engine.train import PerExampleCriterion, TrainCellState, sgd_update
 from ..peft.masks import merge_params
-from .mesh import DATA_AXIS, batch_sharding, param_shardings, replicated
+from .mesh import batch_sharding, param_shardings, replicated
 
 
 def make_sharded_train_step(

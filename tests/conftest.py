@@ -31,10 +31,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 
 
-def pytest_sessionfinish(session, exitstatus):
+@pytest.hookimpl(trylast=True)
+def pytest_unconfigure(config):
+    # runs AFTER the terminal summary is printed
     if _AXON_ACTIVE:
         # flush and skip interpreter teardown: the axon PJRT plugin's exit
         # path blocks for minutes in this sandbox.
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(int(exitstatus))
+        status = getattr(config, "_pvt_exitstatus", 0)
+        os._exit(int(status))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    session.config._pvt_exitstatus = int(exitstatus)
