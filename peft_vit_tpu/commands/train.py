@@ -41,12 +41,23 @@ def train_main(cfg) -> float:
 
     batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU) * jax.device_count()
     steps_per_epoch = max(len(splits.y_train) // batch, 1)
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel import mesh_from_config
+
+        mesh = mesh_from_config(cfg)
+        logger.info(
+            "=> mesh %s over %d devices",
+            dict(zip(mesh.axis_names, mesh.devices.shape)),
+            jax.device_count(),
+        )
     trainer = Trainer(
         cfg,
         model,
         params,
         mask,
         steps_per_epoch,
+        mesh=mesh,
         batch_stats=variables.get("batch_stats"),
     )
 

@@ -176,6 +176,18 @@ class Trainer:
             )
             return new_state, loss, logits
 
+        if self.mesh is not None:
+            # data-parallel over the mesh: batch sharded, state replicated;
+            # GSPMD inserts the gradient all-reduce (the DDP analog)
+            from ..parallel.mesh import batch_sharding, replicated
+
+            bsh = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(
+                train_step,
+                donate_argnums=(0,),
+                in_shardings=(None, None, bsh, bsh, rep, rep),
+            )
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _eval_fn(self, trainable, frozen, batch_stats, x):
