@@ -118,8 +118,9 @@ _C["PEFT"] = CN(
         # kadaptation (reference kadaptation.py:117-244)
         "PHM_DIM": 768,
         "PHM_RANK": 1,
-        # rpb (reference RPB.py:105-131)
-        "RPB_NDIM": 7,
+        # rpb (reference RPB.py:105-131 hardcodes ndim=7, which only fits
+        # a 7x7 patch grid; -1 derives the grid from the model)
+        "RPB_NDIM": -1,
         # vpt prompt tokens (north-star extension; not in reference)
         "PROMPT_TOKENS": 0,
         "PROMPT_DEEP": False,

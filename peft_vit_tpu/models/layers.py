@@ -445,6 +445,13 @@ class MultiHeadAttention(nn.Module):
         if spec.attn_bias == "rpb":
             g = spec.rpb_ndim if spec.rpb_ndim > 0 else self.grid_size
             assert g > 0, "RPB needs a patch grid"
+            if g != self.grid_size:
+                raise ValueError(
+                    f"RPB_NDIM={g} does not match the {self.grid_size}x"
+                    f"{self.grid_size} patch grid (the reference's fixed "
+                    f"ndim=7 has the same constraint); use RPB_NDIM=-1 "
+                    f"for auto"
+                )
             table = self.param(
                 "relative_position_bias_table",
                 nn.initializers.zeros,
