@@ -41,6 +41,7 @@ _C["TPU"] = CN(
         "COMPUTE_DTYPE": "bfloat16",
         "PARAM_DTYPE": "float32",
         "REMAT": True,  # rematerialize frozen-backbone activations
+        "SCAN_LAYERS": False,  # compile the ViT block once via nn.scan
         "FLASH_ATTENTION": True,  # Pallas kernel on TPU, jnp fallback elsewhere
         "DONATE": True,
     },

@@ -100,6 +100,10 @@ def maybe_cache_prefix(
         model.backbone, "style", None
     ) not in ("clip", "timm"):
         return None
+    if getattr(model.backbone, "scan_layers", False):
+        # scan uses stacked block params; the prefix/suffix split needs
+        # the unrolled layout (and scan targets all-layer methods anyway)
+        return None
     cut = first_trainable_layer(mask, num_layers)
     if cut <= 0:
         return None

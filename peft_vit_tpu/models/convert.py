@@ -213,6 +213,45 @@ def graft(params: Dict[str, Any], flat_src: Dict[str, np.ndarray],
     return traverse_util.unflatten_dict(flat, sep="/"), missing
 
 
+def stack_flat_blocks(
+    flat: Dict[str, np.ndarray], layers: int
+) -> Dict[str, np.ndarray]:
+    """Unrolled ``...blocks_{i}/rest`` leaves -> scan layout
+    ``...blocks/block/rest`` with a stacked leading (L, ...) axis."""
+    import re
+
+    out: Dict[str, np.ndarray] = {}
+    grouped: Dict[tuple, Dict[int, np.ndarray]] = {}
+    for k, v in flat.items():
+        m = re.match(r"(.*?)blocks_(\d+)/(.*)", k)
+        if m and int(m.group(2)) < layers:
+            key = (m.group(1), m.group(3))
+            grouped.setdefault(key, {})[int(m.group(2))] = v
+        else:
+            out[k] = v
+    for (pre, rest), d in grouped.items():
+        assert len(d) == layers, (pre, rest, sorted(d))
+        out[f"{pre}blocks/block/{rest}"] = np.stack(
+            [np.asarray(d[i]) for i in range(layers)]
+        )
+    return out
+
+
+def unstack_flat_blocks(
+    flat: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Inverse of stack_flat_blocks (scan layout -> unrolled)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if "blocks/block/" in k:
+            pre, rest = k.split("blocks/block/", 1)
+            for i in range(v.shape[0]):
+                out[f"{pre}blocks_{i}/{rest}"] = np.asarray(v[i])
+        else:
+            out[k] = v
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """torch.load a .pt/.pth checkpoint to a CPU state dict."""
     import torch

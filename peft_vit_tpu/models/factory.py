@@ -167,6 +167,7 @@ def build_image_classifier(
                 spec=spec,
                 use_flash=use_flash,
                 remat=bool(cfg.TPU.REMAT),
+                scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,
             )
         model = ImageClassifier(
@@ -190,6 +191,12 @@ def build_image_classifier(
                 variables["aux"] = {
                     "visual_proj": visual_src.pop("backbone/proj")
                 }
+            if getattr(backbone, "scan_layers", False):
+                from .convert import stack_flat_blocks
+
+                visual_src = stack_flat_blocks(
+                    visual_src, info["vision_layers"]
+                )
             params, missing = graft(params, visual_src, strict=False)
             logger.info(
                 "=> grafted CLIP visual weights (%d fresh leaves)",
@@ -244,6 +251,7 @@ def build_image_classifier(
                 spec=spec,
                 use_flash=use_flash,
                 remat=bool(cfg.TPU.REMAT),
+                scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,
             )
         model = ImageClassifier(
@@ -253,14 +261,17 @@ def build_image_classifier(
         variables = dict(model.init(rng, x0))
         params = variables["params"]
         if sd is not None and not is_resnet_model(cfg):
-            params, missing = graft(
-                params,
-                {
-                    "backbone/" + k: v
-                    for k, v in timm_vit_state_dict_to_tree(sd).items()
-                },
-                strict=False,
-            )
+            timm_src = {
+                "backbone/" + k: v
+                for k, v in timm_vit_state_dict_to_tree(sd).items()
+            }
+            if getattr(backbone, "scan_layers", False):
+                from .convert import stack_flat_blocks
+
+                timm_src = stack_flat_blocks(
+                    timm_src, int(s.VISION.LAYERS)
+                )
+            params, missing = graft(params, timm_src, strict=False)
             logger.info(
                 "=> grafted timm ViT weights (%d fresh leaves)",
                 len(missing),

@@ -20,6 +20,15 @@ Extra capabilities beyond the per-block hooks:
 
 Inputs are NHWC (TPU-native layout).  Checkpoint converters transpose from
 torch NCHW (models/convert.py).
+
+``scan_layers=True`` compiles the block body ONCE via nn.scan (stacked
+(L, ...) params) instead of unrolling L copies — a large compile-time win
+(XLA compiles over a slow remote channel in some deployments).  Scan is
+used automatically when the spec has no per-layer statics (no AdapterDrop
+layer subset, no deep prompts, no extra probe block, no per-layer
+drop-path); layer-indexed trainable filters (first_attention,
+transformer_probe) require the unrolled form.  ``models.convert.
+stack_flat_blocks`` restacks unrolled checkpoints.
 """
 
 from __future__ import annotations
@@ -37,6 +46,46 @@ from .layers import Block, LayerNorm
 Dtype = Any
 
 
+class _BlockCell(nn.Module):
+    """Scan cell: one Block body, (carry, broadcast-in) -> (carry, None)."""
+
+    width: int
+    heads: int
+    mlp_ratio: float
+    act: str
+    spec: PEFTSpec
+    grid_size: int
+    n_prefix: int
+    use_flash: bool
+    remat: bool
+    ln_fp32: bool
+    dtype: Dtype
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, deterministic):
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,))
+        x = block_cls(
+            self.width,
+            self.heads,
+            mlp_ratio=self.mlp_ratio,
+            act=self.act,
+            spec=self.spec,
+            layer_idx=0,
+            grid_size=self.grid_size,
+            n_prefix=self.n_prefix,
+            use_flash=self.use_flash,
+            drop_path=0.0,
+            ln_fp32=self.ln_fp32,
+            name="block",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x, deterministic)
+        return x, None
+
+
 class VisionTransformer(nn.Module):
     image_size: int = 224
     patch_size: int = 16
@@ -51,8 +100,21 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     drop_path_rate: float = 0.0
     ln_fp32: bool = True
+    scan_layers: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _can_scan(self, start_layer: int, stop_layer) -> bool:
+        spec = self.spec
+        return (
+            self.scan_layers
+            and start_layer == 0
+            and stop_layer is None
+            and spec.adapter_layers is None
+            and not spec.prompt_deep
+            and not spec.extra_block
+            and self.drop_path_rate == 0.0
+        )
 
     @property
     def grid_size(self) -> int:
@@ -171,6 +233,31 @@ class VisionTransformer(nn.Module):
         act = "quick_gelu" if self.style == "clip" else "gelu"
         num_prompts = spec.prompt_tokens
 
+        if self._can_scan(start_layer, stop_layer):
+            scan_cls = nn.scan(
+                _BlockCell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.layers,
+                in_axes=(nn.broadcast,),
+            )
+            x, _ = scan_cls(
+                w,
+                self.heads,
+                self.mlp_ratio,
+                act,
+                spec,
+                g,
+                n_prefix,
+                self.use_flash,
+                self.remat,
+                self.ln_fp32,
+                self.dtype,
+                self.param_dtype,
+                name="blocks",
+            )(x, deterministic)
+            return self._head(x, return_tokens)
+
         deep_prompts = None
         if num_prompts > 0 and spec.prompt_deep and self.layers > 1:
             deep_prompts = self.param(
@@ -215,6 +302,10 @@ class VisionTransformer(nn.Module):
         if stop_layer is not None:
             return x
 
+        return self._head(x, return_tokens)
+
+    def _head(self, x: jax.Array, return_tokens: bool):
+        w = self.width
         if self.style == "clip":
             pooled = LayerNorm(
                 name="ln_post",
