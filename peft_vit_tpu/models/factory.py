@@ -51,6 +51,24 @@ def is_resnet_model(cfg) -> bool:
     return "resnet" in name or "resnext" in name or vm == "resnet"
 
 
+def is_hrnet_model(cfg) -> bool:
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return "hrnet" in name or vm == "hrnet"
+
+
+def _build_hrnet_backbone(cfg, dtype):
+    """cls_hrnet family (reference lib/models/cls_hrnet*.py)."""
+    from .hrnet import HRNet
+
+    s = cfg.MODEL.SPEC.VISION
+    return HRNet(
+        width=int(s.get("HRNET_WIDTH", 18)),
+        stage_modules=tuple(s.get("STAGE_MODULES", (1, 4, 3))),
+        dtype=dtype,
+    )
+
+
 def _build_resnet_backbone(cfg, dtype):
     """cls_resnet family (reference lib/models/cls_resnet*.py); variants
     selected by MODEL.SPEC.VISION keys."""
@@ -233,7 +251,9 @@ def build_image_classifier(
 
     else:
         s = cfg.MODEL.SPEC
-        if is_resnet_model(cfg):
+        if is_hrnet_model(cfg):
+            backbone = _build_hrnet_backbone(cfg, dtype)
+        elif is_resnet_model(cfg):
             backbone = _build_resnet_backbone(cfg, dtype)
         elif is_swin_model(cfg):
             backbone = _build_swin_backbone(
@@ -260,7 +280,9 @@ def build_image_classifier(
         x0 = jnp.zeros((1, size, size, 3))
         variables = dict(model.init(rng, x0))
         params = variables["params"]
-        if sd is not None and not is_resnet_model(cfg):
+        if sd is not None and not (
+            is_resnet_model(cfg) or is_hrnet_model(cfg)
+        ):
             timm_src = {
                 "backbone/" + k: v
                 for k, v in timm_vit_state_dict_to_tree(sd).items()
