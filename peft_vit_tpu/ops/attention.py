@@ -86,6 +86,7 @@ def _flash_fwd_kernel(
     v_ref,  # (Npad, D)
     bias_ref,  # (BQ, Npad) or None
     o_ref,  # (BQ, D)
+    lse_ref=None,  # (1, BQ) log-sum-exp rows (saved for the pallas backward)
     *,
     scale: float,
     seq_len: int,
@@ -133,8 +134,10 @@ def _flash_fwd_kernel(
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0, :] = (m + jnp.log(l))[:, 0]
 
 
 def _flash_attention_fwd(
@@ -146,7 +149,8 @@ def _flash_attention_fwd(
     block_q: int,
     block_k: int,
     interpret: bool,
-) -> jax.Array:
+    return_lse: bool = False,
+):
     b, h, n, d = q.shape
     npad = _round_up(n, max(block_q, block_k))
     block_q = min(block_q, npad)
@@ -202,9 +206,17 @@ def _flash_attention_fwd(
 
     def kernel_wrap(*refs):
         if bias is not None:
-            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+            if return_lse:
+                q_ref, k_ref, v_ref, b_ref, o_ref, l_ref = refs
+            else:
+                q_ref, k_ref, v_ref, b_ref, o_ref = refs
+                l_ref = None
         else:
-            q_ref, k_ref, v_ref, o_ref = refs
+            if return_lse:
+                q_ref, k_ref, v_ref, o_ref, l_ref = refs
+            else:
+                q_ref, k_ref, v_ref, o_ref = refs
+                l_ref = None
             b_ref = None
         kernel(
             q_ref.at[0, 0],
@@ -212,18 +224,37 @@ def _flash_attention_fwd(
             v_ref.at[0, 0],
             b_ref if b_ref is None else b_ref.at[0],
             o_ref.at[0, 0],
+            l_ref if l_ref is None else l_ref.at[0, 0],
         )
 
-    out = pl.pallas_call(
-        kernel_wrap,
-        out_shape=jax.ShapeDtypeStruct((b, h, npad, dpad), q.dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
+    out_shapes = [jax.ShapeDtypeStruct((b, h, npad, dpad), q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
             (1, 1, block_q, dpad),
             lambda ib, ih, iq: (ib, ih, iq, 0),
             memory_space=pltpu.VMEM,
-        ),
+        )
+    ]
+    if return_lse:
+        # (b, h, 1, npad): mosaic requires the last two block dims be
+        # (8-divisible, 128-divisible) or equal to the array dims
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, h, 1, npad), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, block_q),
+                lambda ib, ih, iq: (ib, ih, 0, iq),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    res = pl.pallas_call(
+        kernel_wrap,
+        out_shape=tuple(out_shapes) if return_lse else out_shapes[0],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if return_lse else out_specs[0],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * npad * npad * dpad,
@@ -232,7 +263,187 @@ def _flash_attention_fwd(
             transcendentals=b * h * npad * npad,
         ),
     )(*args)
-    return out[:, :, :n, :d]
+    if return_lse:
+        out, lse = res
+        return out[:, :, :n, :d], lse
+    return res[:, :, :n, :d]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash-attention backward (bias-free path)
+#
+# Standard two-kernel formulation with the LSE saved from the forward:
+#   P  = exp(scale*QK^T - L)
+#   dV = P^T dO
+#   dS = P o (dO V^T - D),  D = rowsum(dO o O)
+#   dQ = scale * dS K,  dK = scale * dS^T Q
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale: float, seq_len: int, block_k: int,
+):
+    bq, d = q_ref.shape
+    npad = k_ref.shape[0]
+    num_kb = npad // block_k
+    q = q_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[0, :][:, None]  # (BQ, 1)
+    delta = delta_ref[0, :][:, None]
+
+    def body(kb, acc):
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        s = jnp.where(col + kb * block_k < seq_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((bq, d), jnp.float32)
+    )
+    dq_ref[:] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale: float, seq_len: int, block_q: int,
+):
+    bk, d = k_ref.shape
+    npad = q_ref.shape[0]
+    num_qb = npad // block_q
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[pl.ds(qb * block_q, block_q), :].astype(
+            jnp.float32
+        )
+        lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        s = scale * jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        p = jnp.exp(s - lse_blk)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, (zeros, zeros))
+    dk_ref[:] = (scale * dk_acc).astype(dk_ref.dtype)
+    dv_ref[:] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd(
+    q, k, v, out, lse, g, scale, block_q, block_k, interpret
+):
+    """Pallas backward for the bias-free path; returns (dq, dk, dv)."""
+    b, h, n, d = q.shape
+    npad = _round_up(n, max(block_q, block_k))
+    block_q = min(block_q, npad)
+    block_k = min(block_k, npad)
+    dpad = _round_up(d, 128)
+    pad_n, pad_d = npad - n, dpad - d
+    if pad_n or pad_d:
+        pad = ((0, 0), (0, 0), (0, pad_n), (0, pad_d))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        out, g = jnp.pad(out, pad), jnp.pad(g, pad)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, 0), (0, pad_n)))
+
+    # D = rowsum(dO o O): tiny elementwise pass, fused by XLA
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # (b, h, 1, npad)
+
+    qkv_spec = lambda bq: pl.BlockSpec(
+        (1, 1, bq, dpad), lambda ib, ih, i: (ib, ih, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    slab_spec = pl.BlockSpec(
+        (1, 1, npad, dpad), lambda ib, ih, i: (ib, ih, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = lambda bq: pl.BlockSpec(
+        (1, 1, 1, bq), lambda ib, ih, i: (ib, ih, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    row_slab = pl.BlockSpec(
+        (1, 1, 1, npad), lambda ib, ih, i: (ib, ih, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    dq = pl.pallas_call(
+        lambda q_r, k_r, v_r, do_r, l_r, d_r, dq_r: functools.partial(
+            _flash_bwd_dq_kernel,
+            scale=scale, seq_len=n, block_k=block_k,
+        )(
+            q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0], do_r.at[0, 0],
+            l_r.at[0, 0], d_r.at[0, 0], dq_r.at[0, 0],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, npad, dpad), q.dtype),
+        grid=(b, h, npad // block_q),
+        in_specs=[
+            qkv_spec(block_q), slab_spec, slab_spec, qkv_spec(block_q),
+            row_spec(block_q), row_spec(block_q),
+        ],
+        out_specs=qkv_spec(block_q),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        lambda q_r, k_r, v_r, do_r, l_r, d_r, dk_r, dv_r: functools.partial(
+            _flash_bwd_dkv_kernel,
+            scale=scale, seq_len=n, block_q=block_q,
+        )(
+            q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0], do_r.at[0, 0],
+            l_r.at[0, 0], d_r.at[0, 0], dk_r.at[0, 0], dv_r.at[0, 0],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, npad, dpad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, npad, dpad), q.dtype),
+        ),
+        grid=(b, h, npad // block_k),
+        in_specs=[
+            slab_spec, qkv_spec(block_k), qkv_spec(block_k),
+            slab_spec, row_slab, row_slab,
+        ],
+        out_specs=(qkv_spec(block_k), qkv_spec(block_k)),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    return (
+        dq[:, :, :n, :d],
+        dk[:, :, :n, :d],
+        dv[:, :, :n, :d],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -255,12 +466,22 @@ def _attention_fwd_impl(q, k, v, bias, scale, use_flash, interpret):
 
 
 def _attention_vjp_fwd(q, k, v, scale, use_flash, interpret):
+    if use_flash:
+        out, lse = _flash_attention_fwd(
+            q, k, v, None, scale, block_q=128, block_k=128,
+            interpret=interpret, return_lse=True,
+        )
+        return out, (q, k, v, out, lse)
     out = _attention(q, k, v, scale, use_flash, interpret)
-    return out, (q, k, v)
+    return out, (q, k, v, None, None)
 
 
 def _attention_vjp_bwd(scale, use_flash, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    if use_flash and out is not None:
+        return _flash_attention_bwd(
+            q, k, v, out, lse, g, scale, 128, 128, interpret
+        )
     # Backward recomputes the forward via the reference formulation; the
     # (N, N) intermediate lives only inside this fused XLA computation.
     _, vjp = jax.vjp(
@@ -316,12 +537,14 @@ def multi_head_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash is None:
-        # Measured on v5e (ViT-B/16, N=197): XLA's fused attention beats
-        # the Pallas kernel below ~384 tokens (padding 197->256 + small
-        # per-program work); the kernel wins on long sequences where the
-        # S x S materialization starts to hurt (577-token L/14-336 and up).
+        # Measured on v5e: XLA's fused attention beats the Pallas kernel
+        # at ViT sequence lengths (197: 1.7x; 577: 1.5x) — the S x S
+        # intermediate is cheap there and XLA schedules the small matmuls
+        # better.  The kernel's win is MEMORY: at N >= ~2k the
+        # B*H*N^2 scores (e.g. 8k tokens, 12 heads, b32 -> 98 GB fp32)
+        # stop fitting, while the flash kernel stays O(N*D).
         use_flash = (
-            jax.default_backend() == "tpu" and q.shape[-2] >= 384
+            jax.default_backend() == "tpu" and q.shape[-2] >= 2048
         )
     if bias is None:
         return _attention(q, k, v, float(scale), bool(use_flash), interpret)
