@@ -51,6 +51,12 @@ def is_resnet_model(cfg) -> bool:
     return "resnet" in name or "resnext" in name or vm == "resnet"
 
 
+def is_rexnet_model(cfg) -> bool:
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return "rexnet" in name or vm == "rexnet"
+
+
 def is_hrnet_model(cfg) -> bool:
     name = str(cfg.MODEL.NAME).lower()
     vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
@@ -251,7 +257,16 @@ def build_image_classifier(
 
     else:
         s = cfg.MODEL.SPEC
-        if is_hrnet_model(cfg):
+        if is_rexnet_model(cfg):
+            from .rexnet import ReXNet
+
+            v = cfg.MODEL.SPEC.VISION
+            backbone = ReXNet(
+                width_mult=float(v.get("WIDTH_MULT", 1.0)),
+                depth_mult=float(v.get("DEPTH_MULT", 1.0)),
+                dtype=dtype,
+            )
+        elif is_hrnet_model(cfg):
             backbone = _build_hrnet_backbone(cfg, dtype)
         elif is_resnet_model(cfg):
             backbone = _build_resnet_backbone(cfg, dtype)
@@ -281,7 +296,9 @@ def build_image_classifier(
         variables = dict(model.init(rng, x0))
         params = variables["params"]
         if sd is not None and not (
-            is_resnet_model(cfg) or is_hrnet_model(cfg)
+            is_resnet_model(cfg)
+            or is_hrnet_model(cfg)
+            or is_rexnet_model(cfg)
         ):
             timm_src = {
                 "backbone/" + k: v
