@@ -1,5 +1,29 @@
 from .classifier import ClassifierHead, FeatureBatchNorm, ImageClassifier
 from .clip import CLIP, clip_from_config
+from .convert import (
+    clip_state_dict_to_tree,
+    graft,
+    infer_clip_shape,
+    load_torch_checkpoint,
+    stack_flat_blocks,
+    timm_vit_state_dict_to_tree,
+    unstack_flat_blocks,
+)
+from .factory import build_image_classifier, init_head_from_text
+from .hrnet import HRNet
+from .resnet import (
+    FrozenBatchNorm,
+    ResNet,
+    SqueezeExcite,
+    bit_resnet50,
+    resnet50,
+    resnet101,
+    resnext50_32x4d,
+    resnext101_64x4d,
+    se_resnext50_32x4d,
+)
+from .rexnet import ReXNet
+from .swin import SwinTransformer
 from .text import TextTransformer
 from .vit import VisionTransformer
 
@@ -7,8 +31,29 @@ __all__ = [
     "CLIP",
     "ClassifierHead",
     "FeatureBatchNorm",
+    "FrozenBatchNorm",
+    "HRNet",
     "ImageClassifier",
+    "ReXNet",
+    "ResNet",
+    "SqueezeExcite",
+    "SwinTransformer",
     "TextTransformer",
     "VisionTransformer",
+    "bit_resnet50",
+    "build_image_classifier",
     "clip_from_config",
+    "clip_state_dict_to_tree",
+    "graft",
+    "infer_clip_shape",
+    "init_head_from_text",
+    "load_torch_checkpoint",
+    "resnet50",
+    "resnet101",
+    "resnext50_32x4d",
+    "resnext101_64x4d",
+    "se_resnext50_32x4d",
+    "stack_flat_blocks",
+    "timm_vit_state_dict_to_tree",
+    "unstack_flat_blocks",
 ]

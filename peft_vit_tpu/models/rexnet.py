@@ -87,7 +87,7 @@ def _rexnet_channels(
     """(in, out, stride, expand, use_se) per block (ReXNet-1.0 recipe)."""
     layers = [1, 2, 2, 3, 3, 5]
     strides = [1, 2, 2, 2, 1, 2]
-    layers = [int(round(l * depth_mult)) for l in layers]
+    layers = [max(int(round(l * depth_mult)), 1) for l in layers]
     depth = sum(layers)
     # channels grow linearly from 16 to 180 (+ stem 32)
     inplanes = 16.0 / width_mult

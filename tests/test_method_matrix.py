@@ -37,10 +37,10 @@ def run_method(method, width=32, heads=2):
     cfg = get_default_config()
     cfg.DATASET.DATASET = "synthetic"
     cfg.DATASET.NUM_CLASSES = 4
-    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 5
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 3
     cfg.TRAIN.IMAGE_SIZE = [16, 16]
     cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
-    cfg.TRAIN.END_EPOCH = 2
+    cfg.TRAIN.END_EPOCH = 1
     cfg.TRAIN.SCHEDULE = []
     cfg.TRAIN.NO_TUNING = True
     cfg.TRAIN.LR = 0.02

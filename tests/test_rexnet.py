@@ -41,9 +41,10 @@ class TestReXNet:
         np.testing.assert_allclose(np.asarray(out0[..., 8:]), 0.0)
 
     def test_forward(self):
-        m = ReXNet(width_mult=0.5)
-        x = jnp.ones((2, 64, 64, 3))
+        # depth_mult shrinks to 7 blocks; CPU conv compiles are slow
+        m = ReXNet(width_mult=0.5, depth_mult=0.3)
+        x = jnp.ones((2, 32, 32, 3))
         v = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(v, x)
-        assert out.shape == (2, 640)
+        assert out.shape == (2, 640)  # head = 1280*0.5
         assert bool(jnp.isfinite(out).all())
