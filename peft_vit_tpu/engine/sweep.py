@@ -125,6 +125,13 @@ class SweepEngine:
         )
         self._epoch_one = jax.jit(epoch_fn)
         self._eval_one = jax.jit(eval_fn)
+        # jit the per-cell re-init: under jit, XLA dead-code-eliminates
+        # the frozen-leaf initializers entirely (eager vmap materializes a
+        # FULL param tree per cell — a 2.4 GB spike for 7 ViT-B cells, and
+        # the axon relay backend was observed to retain those buffers,
+        # leaking ~2.4 GB per sweep round until HBM exhaustion)
+        self._init_cells = jax.jit(jax.vmap(init_trainable))
+        self._init_one = jax.jit(init_trainable)
 
     # -- cell training ------------------------------------------------------
 
@@ -141,7 +148,7 @@ class SweepEngine:
         k = len(lrs)
         assert k == len(wds)
         rngs = jax.random.split(jax.random.PRNGKey(seed), k)
-        trainables = jax.vmap(self.init_trainable)(rngs)
+        trainables = self._init_cells(rngs)
         states = jax.vmap(init_cell_state)(trainables)
 
         n = task.x_train.shape[0]
@@ -173,6 +180,10 @@ class SweepEngine:
             )
             last = accs
             best = jnp.maximum(best, accs)
+            # host-fetch sync: without it, some PJRT backends (the axon
+            # relay here) queue every epoch's buffers unboundedly and
+            # exhaust HBM over a long sweep
+            float(accs[0])
 
         scores = (
             last
@@ -191,7 +202,7 @@ class SweepEngine:
         seed: int = 0,
     ) -> Tuple[TrainCellState, float]:
         """Single-cell training; returns (state, best val acc)."""
-        trainable = self.init_trainable(jax.random.PRNGKey(seed))
+        trainable = self._init_one(jax.random.PRNGKey(seed))
         state = init_cell_state(trainable)
         best = 0.0
         best_state = state
@@ -213,7 +224,7 @@ class SweepEngine:
             logits = self._eval_one(
                 state.trainable, self.frozen, task.x_val
             )
-            acc = float(
+            acc = float(  # host fetch doubles as the dispatch-queue sync
                 masked_accuracy(logits, task.y_val, task.valid_val)
             )
             if acc >= best:
