@@ -72,7 +72,12 @@ def main(batch: int = 256, steps: int = 20, warmup: int = 3) -> None:
     # down to ~16 (peak 1370 img/s at B=16 vs 1036 at B=128); production
     # multi-chip training runs small per-chip batches anyway
     for b in ([16, 32, 128] if on_tpu else [batch]):
-        rate, state = measure(train_step, state, frozen, b, steps, warmup)
+        # keep the timing window >= ~2k images so small batches aren't
+        # noise-dominated
+        n_steps = max(steps, 2048 // b) if on_tpu else steps
+        rate, state = measure(
+            train_step, state, frozen, b, n_steps, warmup
+        )
         img_s = max(img_s, rate)
     print(
         json.dumps(
