@@ -27,11 +27,11 @@ DEFAULT_BPE_PATH = os.path.join(
     _HERE, "resources", "bpe_simple_vocab_16e6.txt.gz"
 )
 
+# stdlib `re` spelling of CLIP's \p{L}/\p{N} regex (ASCII letter/digit
+# classes; _clean lowercases first so this matches the original on its
+# effective input domain)
 _WORD_RE = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-    r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
     r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+",
     re.IGNORECASE,
 )

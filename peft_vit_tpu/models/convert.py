@@ -252,11 +252,23 @@ def unstack_flat_blocks(
     return out
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    """torch.load a .pt/.pth checkpoint to a CPU state dict."""
+def load_torch_checkpoint(
+    path: str, allow_pickle: bool = False
+) -> Dict[str, Any]:
+    """torch.load a .pt/.pth checkpoint to a CPU state dict.
+
+    Tries ``weights_only=True`` first (no arbitrary pickle execution from
+    third-party files); pass ``allow_pickle=True`` to opt into the unsafe
+    fallback for legacy checkpoints that store full module objects.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:

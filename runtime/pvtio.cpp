@@ -47,10 +47,13 @@ static void jpegErrorExit(j_common_ptr cinfo) {
 static uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* w, int* h) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
+  // volatile: modified after setjmp and read on the longjmp path
+  uint8_t* volatile out = nullptr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpegErrorExit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
+    free((void*)out);
     return nullptr;
   }
   jpeg_create_decompress(&cinfo);
@@ -63,14 +66,14 @@ static uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* w, int* h) {
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
-  uint8_t* out = (uint8_t*)malloc((size_t)(*w) * (*h) * 3);
+  out = (uint8_t*)malloc((size_t)(*w) * (*h) * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + (size_t)cinfo.output_scanline * (*w) * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  return out;
+  return (uint8_t*)out;
 }
 
 struct PngReadCtx {
@@ -230,7 +233,9 @@ struct Loader {
   uint64_t seed;
   int epoch = 0;
 
-  // prefetch ring
+  // prefetch ring: batch b always lands in slot b % ring.size(), so the
+  // consumer yields batches strictly in batch-index order (reproducible
+  // seeded shuffle, partial batch last) even with num_threads > 1
   struct Slot {
     std::vector<uint8_t> x;
     std::vector<int64_t> y;
@@ -238,7 +243,7 @@ struct Loader {
     bool ready = false;
   };
   std::vector<Slot> ring;
-  size_t head = 0, tail = 0;  // producer writes head, consumer reads tail
+  size_t tail = 0;  // consumer reads tail (in batch order)
   std::mutex mu;
   std::condition_variable cv_prod, cv_cons;
   std::vector<std::thread> workers;
@@ -285,16 +290,15 @@ static void worker_fn(Loader* L) {
   while (!L->stop.load()) {
     size_t b = L->next_batch.fetch_add(1);
     if (b >= L->num_batches) return;
-    // claim a ring slot
-    size_t slot_idx;
+    // slot index is fixed by the batch index; wait until the consumer has
+    // drained the previous occupant of this slot (tail past b - ring size)
+    size_t slot_idx = b % L->ring.size();
     {
       std::unique_lock<std::mutex> lk(L->mu);
       L->cv_prod.wait(lk, [&] {
-        return L->stop.load() ||
-               (L->head - L->tail) < L->ring.size();
+        return L->stop.load() || b < L->tail + L->ring.size();
       });
       if (L->stop.load()) return;
-      slot_idx = (L->head++) % L->ring.size();
     }
     Loader::Slot& slot = L->ring[slot_idx];
     slot.count = 0;
@@ -389,7 +393,7 @@ void pvtio_loader_start_epoch(void* handle, int epoch, int num_threads) {
   }
   L->num_batches = (L->order.size() + L->batch - 1) / L->batch;
   L->next_batch.store(0);
-  L->head = L->tail = 0;
+  L->tail = 0;
   for (auto& slot : L->ring) slot.ready = false;
   if (num_threads < 1) num_threads = 1;
   for (int i = 0; i < num_threads; i++)

@@ -86,6 +86,25 @@ class TestLoader:
         assert sorted(got) == sorted([i % 4 for i in range(9)])
         ld.close()
 
+    def test_multithread_order_matches_shuffle_order(self, shard):
+        # batches must arrive in batch-index order regardless of thread
+        # count (slot = b % ring), with the partial batch last
+        def ids_seq(threads):
+            ld = NativeTsvLoader(
+                [shard], image_size=16, batch_size=2, shuffle=True,
+                seed=7, num_threads=threads,
+            )
+            seq = [
+                ((x[:c, 0, 0, 0].astype(int) + 12) // 25).tolist()
+                for x, y, c in ld.epoch(0)
+            ]
+            ld.close()
+            return seq
+
+        one, four = ids_seq(1), ids_seq(4)
+        assert one == four
+        assert len(four[-1]) == 1  # 9 % 2 == 1: partial batch delivered last
+
     def test_shuffle_differs_by_epoch(self, shard):
         ld = NativeTsvLoader(
             [shard], image_size=16, batch_size=9, shuffle=True, seed=3,
