@@ -27,9 +27,8 @@ from ..engine import (
     bce_per_example,
     ce_per_example,
     make_array_task,
-    masked_accuracy,
 )
-from ..engine.metrics import get_metric, metric_for_dataset
+from ..engine.metrics import metric_for_dataset
 from ..engine.zeroshot import extract_text_features
 from ..models.factory import build_image_classifier, init_head_from_text
 from ..peft import (
@@ -113,8 +112,12 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     if cached is not None:
         apply_fn, splits, _cut = cached
 
+    metric_name = cfg.TEST.METRIC or metric_for_dataset(
+        cfg.DATASET.DATASET
+    )
     engine = SweepEngine(
-        cfg, apply_fn, init_trainable, frozen, criterion
+        cfg, apply_fn, init_trainable, frozen, criterion,
+        metric=metric_name,
     )
 
     batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU)
@@ -143,14 +146,8 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     logits = engine._eval_one(
         state.trainable, frozen, final_task.x_val
     )
-    valid = np.asarray(final_task.valid_val)
-    metric_name = cfg.TEST.METRIC or metric_for_dataset(
-        cfg.DATASET.DATASET
-    )
-    metric = get_metric(metric_name)
-    score = metric(
-        np.asarray(logits, np.float32)[valid],
-        np.asarray(final_task.y_val)[valid],
+    score = engine._score_one(
+        logits, final_task.y_val, final_task.valid_val
     )
 
     if out_dir:

@@ -73,6 +73,9 @@ _DATASETS = [
     ),
     DatasetInfo("chestx-ray8", 8, MULTILABEL, "roc_auc"),
     DatasetInfo("imagenet-1k", 1000),
+    # procedural data for tests/benchmarks (see synthetic_dataset)
+    DatasetInfo("synthetic", 0),
+    DatasetInfo("synthetic_multilabel", 0, MULTILABEL, "11point_mAP"),
 ]
 
 _INFO: Dict[str, DatasetInfo] = {d.name: d for d in _DATASETS}
@@ -175,6 +178,33 @@ def save_npz(path: str, x: np.ndarray, y: np.ndarray) -> None:
     np.savez_compressed(path, x=x, y=y)
 
 
+def synthetic_multilabel_dataset(
+    num_classes: int = 4,
+    n_per_class: int = 20,
+    image_size: int = 32,
+    seed: int = 0,
+    signal: float = 1.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Learnable multilabel data: each present label adds a bright band at
+    its own row; labels are (N, C) binary with 1-2 labels per image (the
+    VOC2007/ChestX-ray8 shape for tests)."""
+    rng = np.random.RandomState(seed)
+    n = num_classes * n_per_class
+    y = np.zeros((n, num_classes), np.int64)
+    primary = np.tile(np.arange(num_classes), n_per_class)
+    y[np.arange(n), primary] = 1
+    extra = rng.randint(0, num_classes, size=n)
+    add = rng.rand(n) < 0.5
+    y[np.arange(n)[add], extra[add]] = 1
+    x = rng.rand(n, image_size, image_size, 3).astype(np.float32)
+    band = max(1, image_size // max(num_classes, 1))
+    for c in range(num_classes):
+        rows = slice(c * band, min((c + 1) * band, image_size))
+        x[y[:, c] == 1, rows] += signal
+    x = (255 * (x / x.max())).astype(np.uint8)
+    return x, y
+
+
 def synthetic_dataset(
     num_classes: int = 10,
     n_per_class: int = 20,
@@ -211,7 +241,12 @@ def load_split(cfg, split: str) -> Tuple[np.ndarray, np.ndarray]:
 
     if name.startswith("synthetic"):
         seed = {"train": 0, "val": 1, "test": 2}[split]
-        return synthetic_dataset(
+        gen = (
+            synthetic_multilabel_dataset
+            if "multilabel" in name
+            else synthetic_dataset
+        )
+        return gen(
             num_classes=num_classes or 10,
             n_per_class=20,
             image_size=size,

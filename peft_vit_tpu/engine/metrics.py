@@ -125,4 +125,11 @@ def get_metric(name: str) -> Callable[[np.ndarray, np.ndarray], float]:
 
 
 def metric_for_dataset(dataset: str) -> str:
-    return DATASET_METRICS.get(dataset, "accuracy")
+    if dataset in DATASET_METRICS:
+        return DATASET_METRICS[dataset]
+    # registered datasets carry their own metric (data/registry.py)
+    from ..data.registry import _INFO
+
+    if dataset in _INFO:
+        return _INFO[dataset].metric
+    return "accuracy"

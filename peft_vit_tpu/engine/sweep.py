@@ -68,8 +68,17 @@ class SweepEngine:
         frozen,
         criterion: PerExampleCriterion,
         batch_size: Optional[int] = None,
+        metric: str = "accuracy",
     ):
         self.cfg = cfg
+        # the dataset metric scores every cell, mirroring the reference's
+        # per-cell `validate` -> get_metric_name dispatch
+        # (adapter_tuning_clip.py:338-377, evaluation/metric.py:36-47);
+        # non-top1 metrics run host-side over the gathered val logits
+        self.metric = metric
+        from .metrics import get_metric
+
+        self._metric_fn = get_metric(metric)
         self.apply_fn = apply_fn
         self.init_trainable = init_trainable
         self.frozen = frozen
@@ -133,6 +142,36 @@ class SweepEngine:
         self._init_cells = jax.jit(jax.vmap(init_trainable))
         self._init_one = jax.jit(init_trainable)
 
+    # -- scoring --------------------------------------------------------------
+
+    def _score_cells(self, logits, y, valid) -> np.ndarray:
+        """Score (k, N, C) per-cell logits with the dataset metric.
+
+        Device fast path for top-1 on integer labels; everything else
+        (mean-per-class, 11-pt mAP, roc_auc, or (N, C) one-hot/multilabel
+        targets) gathers to host — val sets are tiny (num_val x C).
+        The host fetch doubles as the dispatch-queue sync point."""
+        y = jnp.asarray(y)
+        if self.metric in ("accuracy", "top1") and y.ndim == 1:
+            accs = jax.vmap(masked_accuracy, in_axes=(0, None, None))(
+                logits, y, valid
+            )
+            return np.asarray(accs)
+        v = np.asarray(valid)
+        scores_np = np.asarray(logits, np.float32)[:, v]
+        target = np.asarray(y)[v]
+        if self.metric in ("accuracy", "top1") and target.ndim == 2:
+            # one-hot multiclass scored as top-1
+            target = target.argmax(-1)
+        out = np.zeros(scores_np.shape[0], np.float32)
+        for i in range(scores_np.shape[0]):
+            s = scores_np[i]
+            out[i] = self._metric_fn(s, target) if np.isfinite(s).all() else 0.0
+        return out
+
+    def _score_one(self, logits, y, valid) -> float:
+        return float(self._score_cells(logits[None], y, valid)[0])
+
     # -- cell training ------------------------------------------------------
 
     def train_cells(
@@ -154,9 +193,9 @@ class SweepEngine:
         n = task.x_train.shape[0]
         lrs_arr = jnp.asarray(lrs, jnp.float32)
         wds_arr = jnp.asarray(wds, jnp.float32)
-        best = jnp.zeros((k,), jnp.float32)
+        best = np.zeros((k,), np.float32)
         rng_np = np.random.RandomState(seed)
-        last = jnp.zeros((k,), jnp.float32)
+        last = np.zeros((k,), np.float32)
         for epoch in range(end_epoch):
             lr_e = jax.vmap(
                 lambda lr: step_decay_lr(lr, epoch, self.schedule)
@@ -175,23 +214,19 @@ class SweepEngine:
             logits = self._eval_cells(
                 states.trainable, self.frozen, task.x_val
             )
-            accs = jax.vmap(masked_accuracy, in_axes=(0, None, None))(
-                logits, task.y_val, task.valid_val
-            )
-            last = accs
-            best = jnp.maximum(best, accs)
-            # host-fetch sync: without it, some PJRT backends (the axon
+            # _score_cells gathers to host, which is also the required
+            # dispatch-queue sync: without it, some PJRT backends (the axon
             # relay here) queue every epoch's buffers unboundedly and
             # exhaust HBM over a long sweep
-            float(accs[0])
+            last = self._score_cells(logits, task.y_val, task.valid_val)
+            best = np.maximum(best, last)
 
         scores = (
             last
             if bool(self.cfg.TRAIN.SEARCH_RESULT_ON_LAST_EPOCH)
             else best
         )
-        scores = jnp.where(jnp.isfinite(scores), scores, 0.0)
-        return np.asarray(scores)
+        return np.where(np.isfinite(scores), scores, 0.0)
 
     def train_final(
         self,
@@ -224,9 +259,8 @@ class SweepEngine:
             logits = self._eval_one(
                 state.trainable, self.frozen, task.x_val
             )
-            acc = float(  # host fetch doubles as the dispatch-queue sync
-                masked_accuracy(logits, task.y_val, task.valid_val)
-            )
+            # host fetch inside _score_one doubles as the dispatch-queue sync
+            acc = self._score_one(logits, task.y_val, task.valid_val)
             if acc >= best:
                 best, best_state = acc, state
         return best_state, best

@@ -33,9 +33,9 @@ METHODS = [
 WIDE_METHODS = ["compacter", "lora_compacter"]
 
 
-def run_method(method, width=32, heads=2):
+def run_method(method, width=32, heads=2, dataset="synthetic"):
     cfg = get_default_config()
-    cfg.DATASET.DATASET = "synthetic"
+    cfg.DATASET.DATASET = dataset
     cfg.DATASET.NUM_CLASSES = 4
     cfg.DATASET.NUM_SAMPLES_PER_CLASS = 3
     cfg.TRAIN.IMAGE_SIZE = [16, 16]
@@ -67,4 +67,12 @@ def test_method_end_to_end(method):
 @pytest.mark.parametrize("method", WIDE_METHODS)
 def test_wide_method_end_to_end(method):
     score = run_method(method, width=96, heads=2)
+    assert np.isfinite(score) and 0.0 <= score <= 100.0
+
+
+@pytest.mark.parametrize("method", ["linear", "lora"])
+def test_multilabel_end_to_end(method):
+    # the VOC2007/ChestX-ray8 shape: (B, C) binary targets, BCE loss,
+    # mAP scoring through the flagship driver (crashed in round 1)
+    score = run_method(method, dataset="synthetic_multilabel")
     assert np.isfinite(score) and 0.0 <= score <= 100.0
