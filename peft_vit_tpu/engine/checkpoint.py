@@ -67,6 +67,22 @@ def latest_step(directory: str) -> Optional[int]:
         return None
 
 
+def checkpoint_keys(
+    directory: str, step: Optional[int] = None
+) -> Optional[set]:
+    """Top-level keys stored in the latest checkpoint (None if unknown).
+    Lets resume tolerate checkpoints that predate newly-tracked state
+    (swa/ema/batch_stats) — absent keys stay freshly initialized."""
+    step = step if step is not None else latest_step(directory)
+    if step is None:
+        return None
+    try:
+        meta = _manager(directory).item_metadata(step)
+        return set(meta.keys()) if hasattr(meta, "keys") else None
+    except Exception:
+        return None
+
+
 def restore_checkpoint(
     directory: str, template: Dict[str, Any], step: Optional[int] = None
 ) -> Optional[Dict[str, Any]]:

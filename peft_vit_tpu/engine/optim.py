@@ -173,6 +173,18 @@ def build_lr_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
         )
     if method == "constant":
         return optax.constant_schedule(base_lr)
+    if method in ("swalr", "swa"):
+        # SWALR: anneal to SWA.LR_RATIO * base over ANNEAL_EPOCHS after
+        # SWA.BEGIN_EPOCH (torch.optim.swa_utils.SWALR; tools/swa_finetune.py)
+        from .ema import swalr_schedule
+
+        return swalr_schedule(
+            base_lr,
+            base_lr * float(cfg.SWA.LR_RATIO),
+            max(int(cfg.SWA.BEGIN_EPOCH), 0) * steps_per_epoch,
+            max(int(cfg.SWA.ANNEAL_EPOCHS), 1) * steps_per_epoch,
+            str(cfg.SWA.ANNEAL_STRATEGY),
+        )
     raise ValueError(f"Unknown LR scheduler {method!r}")
 
 

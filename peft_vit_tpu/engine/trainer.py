@@ -76,6 +76,12 @@ class Trainer:
         self.has_bn = bool(batch_stats)
 
         trainable, frozen = split_params(params, mask)
+        # the jitted step donates the state (trainable/opt/batch_stats):
+        # copy what we were handed so donation never deletes caller-owned
+        # buffers shared with other Trainer instances
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        trainable = copy(trainable)
+        batch_stats = copy(batch_stats) if self.has_bn else None
         self.frozen = frozen
         self.schedule = build_lr_schedule(cfg, steps_per_epoch)
         self.tx = build_optimizer(
@@ -96,12 +102,25 @@ class Trainer:
             batch_stats=batch_stats if self.has_bn else None,
         )
 
-        self.criterion = build_criterion(cfg, train=True)
-        self.eval_criterion = build_criterion(cfg, train=False)
         aug = cfg.AUG
         self.use_mixup = (
             float(aug.MIXUP) > 0.0 or float(aug.MIXCUT) > 0.0
         )
+        self.criterion = build_criterion(cfg, train=True)
+        if self.use_mixup and cfg.LOSS.LOSS in (
+            "softmax",
+            "CE",
+            "softmax_smooth",
+            "labelSmoothCE",
+            "soft_target",
+            "softTargetCE",
+        ):
+            # timm convention: mixup owns label smoothing — its soft targets
+            # are already smoothed, so the criterion must not re-smooth
+            from .loss import soft_target_cross_entropy
+
+            self.criterion = soft_target_cross_entropy
+        self.eval_criterion = build_criterion(cfg, train=False)
         self.num_classes = int(cfg.MODEL.NUM_CLASSES) or int(
             cfg.DATASET.NUM_CLASSES
         )
@@ -250,21 +269,98 @@ class Trainer:
         batches: Iterator[Tuple[np.ndarray, np.ndarray]],
         use_ema: bool = False,
         use_swa: bool = False,
+        metric: Optional[str] = None,
     ) -> float:
+        """Full test pass (lib/core/function.py:173-279 semantics): top-1 +
+        top-5 for multiclass; the dataset metric (mAP/roc_auc/...) for
+        multilabel (B, C) targets or when ``metric`` names one explicitly."""
+        from .metrics import get_metric
+
         trainable = self.state.trainable
         if use_ema and self.state.ema is not None:
             trainable = self.state.ema.shadow
         if use_swa and self.state.swa is not None:
             trainable = self.state.swa.average
-        correct = total = 0
+        all_logits, all_y = [], []
         for x, y in batches:
             logits = self._eval_step(
                 trainable, self.frozen, self.state.batch_stats, jnp.asarray(x)
             )
-            pred = np.asarray(jnp.argmax(logits, -1))
-            correct += int((pred == np.asarray(y)).sum())
-            total += len(y)
-        return 100.0 * correct / max(total, 1)
+            all_logits.append(np.asarray(logits, np.float32))
+            all_y.append(np.asarray(y))
+        if not all_logits:
+            return 0.0
+        scores = np.concatenate(all_logits)
+        target = np.concatenate(all_y)
+        if metric is None and target.ndim == 2:
+            metric = "11point_mAP"
+        if metric is not None and metric not in ("accuracy", "top1"):
+            return get_metric(metric)(scores, target)
+        ranked = np.argsort(-scores, axis=-1)
+        top1 = 100.0 * float((ranked[:, 0] == target).mean())
+        k = min(5, scores.shape[-1])
+        top5 = 100.0 * float(
+            (ranked[:, :k] == target[:, None]).any(-1).mean()
+        )
+        logger.info("=> eval top1 %.3f top5 %.3f", top1, top5)
+        return top1
+
+    def update_bn(self, batches, trainable=None):
+        """torch.optim.swa_utils.update_bn analog (tools/swa_finetune.py:
+        74-304): recompute BN running stats as the equal-weight average of
+        per-batch statistics over ``batches`` — needed because the SWA-
+        averaged weights were never the ones the stats were tracked under.
+
+        Works for any per-module EMA momentum: flax updates
+        ``new = m*old + (1-m)*batch``, so probing one batch from all-zero
+        and all-one running stats measures ``m`` per leaf exactly, and each
+        batch statistic is recovered as ``new0 / (1-m)``.  Installs the
+        refreshed stats on the trainer state and returns them."""
+        if not self.has_bn:
+            return None
+        if trainable is None:
+            trainable = (
+                self.state.swa.average
+                if self.state.swa is not None
+                else self.state.trainable
+            )
+        model = self.model
+
+        def batch_pass(tr, frozen, stats, x):
+            params = merge_params(tr, frozen)
+            _, upd = model.apply(
+                {"params": params, "batch_stats": stats},
+                x,
+                True,
+                mutable=["batch_stats"],
+            )
+            return upd["batch_stats"]
+
+        batch_pass = jax.jit(batch_pass)
+        tmap = jax.tree_util.tree_map
+        zeros = tmap(jnp.zeros_like, self.state.batch_stats)
+        ones = tmap(jnp.ones_like, self.state.batch_stats)
+        total, count, momentum = None, 0, None
+        for x, _ in batches:
+            x = jnp.asarray(x)
+            n0 = batch_pass(trainable, self.frozen, zeros, x)
+            if momentum is None:
+                n1 = batch_pass(trainable, self.frozen, ones, x)
+                momentum = tmap(lambda a, b: b - a, n0, n1)
+            batch_stat = tmap(
+                lambda v, m: v / jnp.maximum(1.0 - m, 1e-6), n0, momentum
+            )
+            total = (
+                batch_stat
+                if total is None
+                else tmap(jnp.add, total, batch_stat)
+            )
+            count += 1
+        if total is None:
+            return None
+        new_stats = tmap(lambda t: t / count, total)
+        self.state = self.state._replace(batch_stats=new_stats)
+        return new_stats
 
     # -- checkpointing ---------------------------------------------------------
 
@@ -281,6 +377,8 @@ class Trainer:
         if s.swa is not None:
             out["swa_average"] = s.swa.average
             out["swa_count"] = s.swa.count
+        if self.has_bn:
+            out["batch_stats"] = s.batch_stats
         return out
 
     def save(self, directory: str, epoch: int) -> None:
@@ -289,27 +387,34 @@ class Trainer:
     def maybe_resume(self, directory: str) -> Optional[int]:
         if not bool(self.cfg.TRAIN.AUTO_RESUME):
             return None
+        from .checkpoint import checkpoint_keys
+
         template = self._ckpt_state()
+        stored = checkpoint_keys(directory)
+        if stored is not None:
+            # tolerate older checkpoints without swa/ema/batch_stats (e.g.
+            # swa_finetune resuming a plain run): absent leaves stay fresh
+            template = {k: v for k, v in template.items() if k in stored}
         restored = restore_checkpoint(directory, template)
         if restored is None:
             return None
         s = self.state
-        ema = (
-            s.ema._replace(shadow=restored["ema_shadow"])
-            if s.ema is not None
-            else None
-        )
-        swa = (
-            SwaState(restored["swa_average"], restored["swa_count"])
-            if s.swa is not None
-            else None
-        )
+        ema = s.ema
+        if s.ema is not None and "ema_shadow" in restored:
+            ema = s.ema._replace(shadow=restored["ema_shadow"])
+        swa = s.swa
+        if s.swa is not None and "swa_average" in restored:
+            swa = SwaState(restored["swa_average"], restored["swa_count"])
+        batch_stats = s.batch_stats
+        if self.has_bn and "batch_stats" in restored:
+            batch_stats = restored["batch_stats"]
         self.state = FullTrainState(
             restored["trainable"],
             restored["opt_state"],
             restored["step"],
             ema,
             swa,
+            batch_stats if self.has_bn else None,
         )
         return int(restored["epoch"])
 
@@ -352,6 +457,9 @@ class Trainer:
             if checkpoint_dir:
                 self.save(checkpoint_dir, epoch)
         if self.state.swa is not None:
+            if self.has_bn:
+                # BN refresh for the averaged weights (swa_utils.update_bn)
+                self.update_bn(train_batches_fn(int(cfg.TRAIN.END_EPOCH)))
             swa_acc = self.evaluate(eval_batches_fn(), use_swa=True)
             logger.info("=> SWA acc %.3f", swa_acc)
             best = max(best, swa_acc)

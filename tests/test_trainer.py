@@ -135,3 +135,133 @@ class TestTrainer:
         trainer = Trainer(cfg, model, params, mask, steps_per_epoch=4)
         stats = trainer.train_one_epoch(batch_iterator(x, y, 8), epoch=0)
         assert np.isfinite(stats["loss"])
+
+    def test_mixup_owns_label_smoothing(self):
+        # mixup's soft targets are already smoothed; the train criterion
+        # must not re-smooth them (timm convention)
+        from peft_vit_tpu.engine.loss import soft_target_cross_entropy
+
+        cfg = make_cfg(**{"AUG.MIXUP": 0.2, "LOSS.LOSS": "softmax",
+                          "LOSS.LABEL_SMOOTHING": 0.1})
+        model, params, mask = setup(cfg)
+        trainer = Trainer(cfg, model, params, mask, steps_per_epoch=4)
+        assert trainer.criterion is soft_target_cross_entropy
+        # without mixup the smoothing criterion stays
+        cfg2 = make_cfg(**{"LOSS.LOSS": "softmax",
+                           "LOSS.LABEL_SMOOTHING": 0.1})
+        trainer2 = Trainer(cfg2, model, params, mask, steps_per_epoch=4)
+        assert trainer2.criterion is not soft_target_cross_entropy
+
+
+def _bn_head_setup(cfg, num_classes=3, dim=8):
+    """A BN-bearing model whose batch_stats are analytically checkable:
+    ClassifierHead(use_bn=True) directly over feature vectors."""
+    from peft_vit_tpu.models.classifier import ClassifierHead
+
+    model = ClassifierHead(num_classes, use_bn=True)
+    x0 = jnp.zeros((1, dim))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    mask = build_mask(variables["params"], "full", num_layers=0)
+    return model, variables, mask
+
+
+class TestBatchNormTraining:
+    def test_bn_resume_matches_uninterrupted(self, tmp_path):
+        # batch_stats must round-trip through save/resume: a resumed run
+        # continues bit-identically (the round-1 bug dropped them)
+        cfg = make_cfg()
+        model, variables, mask = _bn_head_setup(cfg)
+        rng = np.random.RandomState(0)
+        x = rng.randn(32, 8).astype(np.float32)
+        y = rng.randint(0, 3, 32)
+
+        def run_epochs(trainer, epochs):
+            for e in epochs:
+                trainer.train_one_epoch(
+                    batch_iterator(x, y, 8, seed=e), epoch=e
+                )
+
+        tr_a = Trainer(cfg, model, variables["params"], mask, 4,
+                       batch_stats=variables["batch_stats"])
+        run_epochs(tr_a, [0, 1])
+
+        tr_b = Trainer(cfg, model, variables["params"], mask, 4,
+                       batch_stats=variables["batch_stats"])
+        run_epochs(tr_b, [0])
+        d = str(tmp_path / "ckpt")
+        tr_b.save(d, epoch=0)
+        tr_c = Trainer(cfg, model, variables["params"], mask, 4,
+                       batch_stats=variables["batch_stats"])
+        assert tr_c.maybe_resume(d) == 0
+        run_epochs(tr_c, [1])
+
+        for u, v in zip(
+            jax.tree_util.tree_leaves(tr_a.state.batch_stats),
+            jax.tree_util.tree_leaves(tr_c.state.batch_stats),
+        ):
+            np.testing.assert_allclose(u, v, rtol=1e-6)
+        acc_a = tr_a.evaluate(batch_iterator(x, y, 8, shuffle=False))
+        acc_c = tr_c.evaluate(batch_iterator(x, y, 8, shuffle=False))
+        assert acc_a == pytest.approx(acc_c)
+
+    def test_update_bn_equals_batch_stat_average(self):
+        # update_bn must set running stats to the equal-weight average of
+        # per-batch statistics (torch.optim.swa_utils.update_bn semantics);
+        # with the BN directly on the input features this is checkable
+        cfg = make_cfg()
+        model, variables, mask = _bn_head_setup(cfg)
+        trainer = Trainer(cfg, model, variables["params"], mask, 4,
+                          batch_stats=variables["batch_stats"])
+        rng = np.random.RandomState(1)
+        x = 3.0 + 2.0 * rng.randn(24, 8).astype(np.float32)
+        y = rng.randint(0, 3, 24)
+        batches = list(batch_iterator(x, y, 8, shuffle=False))
+        trainer.update_bn(iter(batches))
+        means = np.stack([bx.mean(0) for bx, _ in batches]).mean(0)
+        variances = np.stack([bx.var(0) for bx, _ in batches]).mean(0)
+        flat = jax.tree_util.tree_flatten_with_path(
+            trainer.state.batch_stats
+        )[0]
+        by_name = {
+            "".join(str(k) for k in path): np.asarray(v)
+            for path, v in flat
+        }
+        mean_leaf = [v for k, v in by_name.items() if "mean" in k][0]
+        var_leaf = [v for k, v in by_name.items() if "var" in k][0]
+        np.testing.assert_allclose(mean_leaf, means, rtol=1e-4)
+        np.testing.assert_allclose(var_leaf, variances, rtol=1e-4)
+
+    def test_swa_with_bn_refresh_in_fit(self, tmp_path):
+        cfg = make_cfg(**{"SWA.ENABLED": True, "SWA.BEGIN_EPOCH": 0,
+                          "TRAIN.END_EPOCH": 2,
+                          "TRAIN.LR_SCHEDULER.METHOD": "swalr"})
+        model, variables, mask = _bn_head_setup(cfg)
+        trainer = Trainer(cfg, model, variables["params"], mask, 4,
+                          batch_stats=variables["batch_stats"])
+        rng = np.random.RandomState(2)
+        x = rng.randn(32, 8).astype(np.float32)
+        y = rng.randint(0, 3, 32)
+        before = [
+            np.asarray(v).copy()
+            for v in jax.tree_util.tree_leaves(trainer.state.batch_stats)
+        ]
+        best = trainer.fit(
+            lambda e: batch_iterator(x, y, 8, seed=e),
+            lambda: batch_iterator(x, y, 8, shuffle=False),
+        )
+        assert np.isfinite(best)
+        after = jax.tree_util.tree_leaves(trainer.state.batch_stats)
+        assert any(
+            not np.allclose(b, np.asarray(a))
+            for b, a in zip(before, after)
+        )
+
+    def test_swalr_schedule(self):
+        from peft_vit_tpu.engine.optim import build_lr_schedule
+
+        cfg = make_cfg(**{"TRAIN.LR_SCHEDULER.METHOD": "swalr",
+                          "TRAIN.LR": 0.1, "SWA.LR_RATIO": 0.5,
+                          "SWA.BEGIN_EPOCH": 0, "SWA.ANNEAL_EPOCHS": 2})
+        sched = build_lr_schedule(cfg, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(0.1)
+        assert float(sched(1000)) == pytest.approx(0.05)
