@@ -86,6 +86,28 @@ _TEMPLATE_MAP: Dict[str, List[str]] = {
 _TEMPLATE_MAP["cifar-100"] = _TEMPLATE_MAP["cifar-10"]
 
 
+# complete per-dataset class lists + template sets, ported verbatim from
+# the reference's constant-data module (datasets/prompts.py:1-3275, itself
+# from openai/CLIP prompts.md) as JSON resources — one file per dataset
+_RESOURCES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "prompts",
+)
+_builtin_cache: Dict[str, Optional[dict]] = {}
+
+
+def _builtin(dataset: str) -> Optional[dict]:
+    if dataset not in _builtin_cache:
+        p = os.path.join(_RESOURCES_DIR, f"{dataset}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                _builtin_cache[dataset] = json.load(f)
+        else:
+            _builtin_cache[dataset] = None
+    return _builtin_cache[dataset]
+
+
 def _external(root: str, dataset: str) -> Optional[dict]:
     for p in (
         os.path.join(root or "", dataset, "prompts.json"),
@@ -101,6 +123,9 @@ def class_map(dataset: str, root: str = "") -> Optional[List[str]]:
     ext = _external(root, dataset)
     if ext and "classes" in ext:
         return list(ext["classes"])
+    built = _builtin(dataset)
+    if built and "classes" in built:
+        return list(built["classes"])
     return _CLASS_MAP.get(dataset)
 
 
@@ -108,12 +133,18 @@ def template_map(dataset: str, root: str = "") -> List[str]:
     ext = _external(root, dataset)
     if ext and "templates" in ext:
         return list(ext["templates"])
+    built = _builtin(dataset)
+    if built and "templates" in built:
+        return list(built["templates"])
     return _TEMPLATE_MAP.get(dataset, GENERIC_TEMPLATES)
 
 
 def register_prompts(
     dataset: str, classes: List[str], templates: Optional[List[str]] = None
 ) -> None:
-    _CLASS_MAP[dataset] = list(classes)
+    """Runtime registration; overrides the built-in resource data."""
+    entry = dict(_builtin(dataset) or {})
+    entry["classes"] = list(classes)
     if templates:
-        _TEMPLATE_MAP[dataset] = list(templates)
+        entry["templates"] = list(templates)
+    _builtin_cache[dataset] = entry

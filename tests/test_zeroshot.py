@@ -54,6 +54,39 @@ class TestPrompts:
         t = template_map("some-unknown-dataset")
         assert "a photo of a {}." in t
 
+    def test_all_registry_datasets_resolve(self):
+        # every real dataset in the registry has built-in class names and
+        # templates (ported from the reference's 3.3k-line prompts module);
+        # the class count must match the registry
+        from peft_vit_tpu.data.registry import _INFO
+
+        for name, info in _INFO.items():
+            if name.startswith("synthetic"):
+                continue  # procedural: class names are config-dependent
+            classes = class_map(name)
+            assert classes, f"no class list for {name}"
+            assert len(classes) == info.num_classes, name
+            templates = template_map(name)
+            assert templates and all("{}" in t for t in templates), name
+
+    def test_imagenet_prompt_set_complete(self):
+        assert len(class_map("imagenet-1k")) == 1000
+        assert len(template_map("imagenet-1k")) == 80
+        assert class_map("caltech-101")[0] == "accordion"
+
+    def test_register_overrides_builtin(self):
+        from peft_vit_tpu.data.prompts import (
+            _builtin_cache,
+            register_prompts,
+        )
+
+        try:
+            register_prompts("cifar-10", ["a", "b"], ["pic of {}"])
+            assert class_map("cifar-10") == ["a", "b"]
+            assert template_map("cifar-10") == ["pic of {}"]
+        finally:
+            _builtin_cache.pop("cifar-10", None)
+
     def test_external_json(self, tmp_path):
         import json
 
