@@ -27,11 +27,39 @@ logger = logging.getLogger(__name__)
 
 
 def train_main(cfg) -> float:
+    from ..data.native import native_available
+
     spec = spec_from_config(cfg)
-    splits = construct_splits(cfg)
-    model, variables, _ = build_image_classifier(
-        cfg, spec, splits.num_classes
-    )
+
+    # streaming path (TRAIN_TSV_LIST + native runtime): the dataset is
+    # never materialized in host RAM — decode/prefetch runs in the C++
+    # ring (tools/train.py:26,154-155 DataLoader-worker analog)
+    streaming = bool(cfg.DATASET.TRAIN_TSV_LIST) and native_available()
+    if streaming:
+        from ..data.streaming import StreamingSource
+
+        train_src = StreamingSource(cfg, "train")
+        eval_src = (
+            StreamingSource(cfg, "test")
+            if cfg.DATASET.TEST_TSV_LIST
+            else None
+        )
+        num_classes = int(cfg.DATASET.NUM_CLASSES)
+        assert num_classes > 0, (
+            "streaming TSV training needs DATASET.NUM_CLASSES"
+        )
+        splits = None
+    else:
+        if cfg.DATASET.TRAIN_TSV_LIST:
+            logger.warning(
+                "native runtime unavailable: TSV data will be fully "
+                "materialized in host RAM"
+            )
+        splits = construct_splits(cfg)
+        num_classes = splits.num_classes
+        train_src = eval_src = None
+
+    model, variables, _ = build_image_classifier(cfg, spec, num_classes)
     params = variables["params"]
 
     method = cfg.PEFT.METHOD if cfg.PEFT.METHOD != "none" else "full"
@@ -40,7 +68,11 @@ def train_main(cfg) -> float:
     log_trainable_params(count_trainable(params, mask))
 
     batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU) * jax.device_count()
-    steps_per_epoch = max(len(splits.y_train) // batch, 1)
+    steps_per_epoch = (
+        train_src.steps_per_epoch
+        if streaming
+        else max(len(splits.y_train) // batch, 1)
+    )
     mesh = None
     if jax.device_count() > 1:
         from ..parallel import mesh_from_config
@@ -61,23 +93,41 @@ def train_main(cfg) -> float:
         batch_stats=variables.get("batch_stats"),
     )
 
-    def train_batches(epoch):
-        return batch_iterator(
-            splits.x_train,
-            splits.y_train,
-            batch,
-            shuffle=bool(cfg.TRAIN.SHUFFLE),
-            seed=epoch,
-        )
+    if streaming:
+        train_batches = train_src.device_batches
+        if eval_src is not None:
+            eval_batches = lambda: eval_src.device_batches(0)
+        else:
+            eval_splits = construct_splits(cfg, test_split_only=True)
 
-    def eval_batches():
-        return batch_iterator(
-            splits.x_test,
-            splits.y_test,
-            int(cfg.TEST.BATCH_SIZE_PER_GPU),
-            shuffle=False,
-            drop_last=False,
-        )
+            def eval_batches():
+                return batch_iterator(
+                    eval_splits.x_test,
+                    eval_splits.y_test,
+                    int(cfg.TEST.BATCH_SIZE_PER_GPU),
+                    shuffle=False,
+                    drop_last=False,
+                )
+
+    else:
+
+        def train_batches(epoch):
+            return batch_iterator(
+                splits.x_train,
+                splits.y_train,
+                batch,
+                shuffle=bool(cfg.TRAIN.SHUFFLE),
+                seed=epoch,
+            )
+
+        def eval_batches():
+            return batch_iterator(
+                splits.x_test,
+                splits.y_test,
+                int(cfg.TEST.BATCH_SIZE_PER_GPU),
+                shuffle=False,
+                drop_last=False,
+            )
 
     ckpt_dir = os.path.join(
         cfg.OUTPUT_DIR, cfg.DATASET.DATASET, cfg.NAME, "checkpoints"

@@ -84,6 +84,16 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.pvtio_loader_num_batches.restype = ctypes.c_int64
     lib.pvtio_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.pvtio_loader_labels.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.pvtio_loader_start_epoch_order.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
     lib.pvtio_loader_next.restype = ctypes.c_int
     lib.pvtio_loader_next.argtypes = [
         ctypes.c_void_p,
@@ -168,10 +178,33 @@ class NativeTsvLoader:
     def __len__(self) -> int:
         return int(self._lib.pvtio_loader_num_samples(self._handle))
 
-    def epoch(self, epoch: int = 0):
-        """Iterate one epoch of batches."""
+    def labels(self) -> np.ndarray:
+        """All sample labels (for host-side samplers)."""
+        out = np.empty((len(self),), np.int64)
+        self._lib.pvtio_loader_labels(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        return out
+
+    def epoch(self, epoch: int = 0, order: Optional[np.ndarray] = None):
+        """Iterate one epoch of batches.
+
+        ``order``: explicit sample-index order (host-side samplers /
+        per-process shards); None uses the loader's seeded shuffle.
+        """
         lib = self._lib
-        lib.pvtio_loader_start_epoch(self._handle, epoch, self.num_threads)
+        if order is not None:
+            order = np.ascontiguousarray(order, np.int64)
+            lib.pvtio_loader_start_epoch_order(
+                self._handle,
+                order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(order),
+                self.num_threads,
+            )
+        else:
+            lib.pvtio_loader_start_epoch(
+                self._handle, epoch, self.num_threads
+            )
         nb = int(lib.pvtio_loader_num_batches(self._handle))
         s = self.image_size
         for _ in range(nb):

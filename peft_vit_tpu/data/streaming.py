@@ -1,0 +1,163 @@
+"""Streaming full-shot input pipeline.
+
+The reference trains ImageNet-scale data through torch DataLoader worker
+processes over TSV shards (full_shot/main/tools/train.py:26,154-155;
+TSV keys at lib/config/default.py:69-73).  The TPU-native equivalent:
+
+* decode + prefetch runs in the C++ runtime's threads
+  (``runtime/pvtio.cpp`` via ``NativeTsvLoader``) — bounded ring buffer,
+  so host RSS stays O(ring), never O(dataset)
+* the sampler (``TRAIN.SAMPLER``: default / class_aware / chunk) is a
+  host numpy order over sample indices (``data/samplers.py``)
+* ``prefetch_to_device`` keeps the next batches' host->HBM transfer in
+  flight while the device runs the current step
+* multi-host: every process derives the same global order, then takes
+  its ``process_index``-th shard
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .native import NativeTsvLoader, native_available
+from .samplers import build_order, shard_order
+
+logger = logging.getLogger(__name__)
+
+
+def prefetch_to_device(
+    batches: Iterator[Tuple[np.ndarray, np.ndarray]], depth: int = 2
+):
+    """Move (x, y) to device ``depth`` batches ahead of consumption on a
+    background thread, overlapping PCIe/ICI transfer with compute."""
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for x, y in batches:
+                q.put((jax.device_put(x), jax.device_put(y)))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+class StreamingSource:
+    """Config -> per-epoch normalized batch iterators over TSV shards."""
+
+    def __init__(self, cfg, split: str = "train"):
+        import jax
+
+        if not native_available():
+            raise RuntimeError(
+                "streaming path needs the native runtime (libpvtio.so)"
+            )
+        tsv_list = (
+            cfg.DATASET.TRAIN_TSV_LIST
+            if split == "train"
+            else cfg.DATASET.TEST_TSV_LIST
+        )
+        if not tsv_list:
+            raise ValueError(f"no TSV list configured for split {split!r}")
+        root = cfg.DATASET.ROOT
+        paths = [os.path.join(root, p) if root else p for p in tsv_list]
+        self.split = split
+        self.train = split == "train"
+        self.batch = int(
+            cfg.TRAIN.BATCH_SIZE_PER_GPU
+            if self.train
+            else cfg.TEST.BATCH_SIZE_PER_GPU
+        ) * jax.local_device_count()
+        self.loader = NativeTsvLoader(
+            paths,
+            image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
+            batch_size=self.batch,
+            shuffle=self.train and bool(cfg.TRAIN.SHUFFLE),
+            seed=int(cfg.DATASET.RANDOM_SEED_SAMPLING),
+            num_threads=int(cfg.WORKERS or 4),
+        )
+        self.sampler = str(cfg.TRAIN.SAMPLER)
+        self.seed = int(cfg.DATASET.RANDOM_SEED_SAMPLING)
+        self.flip = self.train and bool(cfg.AUG.get("RANDOM_FLIP", True))
+        self.mean = np.asarray(cfg.INPUT.MEAN, np.float32) * 255.0
+        self.std = np.asarray(cfg.INPUT.STD, np.float32) * 255.0
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self._labels: Optional[np.ndarray] = None
+        n_global = len(self.loader)
+        self.samples_this_process = (
+            len(shard_order(np.arange(n_global), self.process_index,
+                            self.process_count))
+            if self.train
+            else n_global
+        )
+        self.steps_per_epoch = max(
+            self.samples_this_process // self.batch, 1
+        )
+        logger.info(
+            "=> streaming %s: %d samples (%d this process), batch %d, "
+            "sampler %s",
+            split,
+            n_global,
+            self.samples_this_process,
+            self.batch,
+            self.sampler,
+        )
+
+    def _labels_fn(self) -> np.ndarray:
+        if self._labels is None:
+            self._labels = self.loader.labels()
+        return self._labels
+
+    def _normalize(self, x_u8: np.ndarray) -> np.ndarray:
+        return (x_u8.astype(np.float32) - self.mean) / self.std
+
+    def batches(self, epoch: int = 0):
+        """One epoch of normalized (x, y) host batches.
+
+        Train: sampler-ordered, per-process shard, drop_last, random
+        horizontal flip.  Eval: sequential, partial final batch kept."""
+        if self.train:
+            order = build_order(
+                self.sampler,
+                len(self.loader),
+                epoch,
+                self.seed,
+                labels_fn=self._labels_fn,
+            )
+            order = shard_order(
+                order, self.process_index, self.process_count
+            )
+            rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
+            for x, y, count in self.loader.epoch(epoch, order=order):
+                if count < self.batch:
+                    break  # drop_last
+                x = self._normalize(x)
+                if self.flip:
+                    sel = rng.rand(len(x)) < 0.5
+                    x[sel] = x[sel, :, ::-1]
+                yield x, y
+        else:
+            for x, y, count in self.loader.epoch(0):
+                yield self._normalize(x[:count]), y[:count]
+
+    def device_batches(self, epoch: int = 0, depth: int = 2):
+        return prefetch_to_device(self.batches(epoch), depth=depth)
+
+    def close(self):
+        self.loader.close()

@@ -377,20 +377,14 @@ int64_t pvtio_loader_num_samples(void* handle) {
   return (int64_t)((Loader*)handle)->samples.size();
 }
 
-// start an epoch: shuffles the order and spins up workers
-void pvtio_loader_start_epoch(void* handle, int epoch, int num_threads) {
+// copy all sample labels into out (num_samples entries) — lets host-side
+// samplers (class-aware / chunk) build custom orders without re-parsing
+void pvtio_loader_labels(void* handle, int64_t* out) {
   Loader* L = (Loader*)handle;
-  for (auto& t : L->workers)
-    if (t.joinable()) t.join();
-  L->workers.clear();
-  L->stop.store(false);
-  L->epoch = epoch;
-  L->order.resize(L->samples.size());
-  for (size_t i = 0; i < L->order.size(); i++) L->order[i] = i;
-  if (L->shuffle) {
-    std::mt19937_64 rng(L->seed + (uint64_t)epoch);
-    std::shuffle(L->order.begin(), L->order.end(), rng);
-  }
+  for (size_t i = 0; i < L->samples.size(); i++) out[i] = L->samples[i].label;
+}
+
+static void start_workers(Loader* L, int num_threads) {
   L->num_batches = (L->order.size() + L->batch - 1) / L->batch;
   L->next_batch.store(0);
   L->tail = 0;
@@ -398,6 +392,49 @@ void pvtio_loader_start_epoch(void* handle, int epoch, int num_threads) {
   if (num_threads < 1) num_threads = 1;
   for (int i = 0; i < num_threads; i++)
     L->workers.emplace_back(worker_fn, L);
+}
+
+static void join_workers(Loader* L) {
+  // unblock producers stuck waiting for ring space (epoch abandoned
+  // before being fully consumed), then join
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop.store(true);
+  }
+  L->cv_prod.notify_all();
+  for (auto& t : L->workers)
+    if (t.joinable()) t.join();
+  L->workers.clear();
+  L->stop.store(false);
+}
+
+// start an epoch: shuffles the order and spins up workers
+void pvtio_loader_start_epoch(void* handle, int epoch, int num_threads) {
+  Loader* L = (Loader*)handle;
+  join_workers(L);
+  L->epoch = epoch;
+  L->order.resize(L->samples.size());
+  for (size_t i = 0; i < L->order.size(); i++) L->order[i] = i;
+  if (L->shuffle) {
+    std::mt19937_64 rng(L->seed + (uint64_t)epoch);
+    std::shuffle(L->order.begin(), L->order.end(), rng);
+  }
+  start_workers(L, num_threads);
+}
+
+// start an epoch over an explicit sample order (host-side samplers /
+// per-process shards); n may differ from num_samples (resampling)
+void pvtio_loader_start_epoch_order(void* handle, const int64_t* order,
+                                    int64_t n, int num_threads) {
+  Loader* L = (Loader*)handle;
+  join_workers(L);
+  L->order.resize((size_t)n);
+  const int64_t limit = (int64_t)L->samples.size();
+  for (int64_t i = 0; i < n; i++) {
+    int64_t v = order[i];
+    L->order[(size_t)i] = (size_t)(v < 0 || v >= limit ? 0 : v);
+  }
+  start_workers(L, num_threads);
 }
 
 int64_t pvtio_loader_num_batches(void* handle) {
