@@ -28,6 +28,7 @@ from ..engine import (
     ce_per_example,
     make_array_task,
 )
+from ..engine.contrastive import hybrid_contrastive_per_example
 from ..engine.metrics import metric_for_dataset
 from ..engine.zeroshot import extract_text_features
 from ..models.factory import build_image_classifier, init_head_from_text
@@ -58,7 +59,37 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
         cfg, spec, num_classes
     )
     params = variables["params"]
-    if bool(cfg.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER) and encode_text:
+
+    contrastive = spec.method in (
+        "finetune_contrast",
+        "linear_probe_contrast",
+    )
+    if contrastive:
+        # swap the linear head for the frozen class-text feature bank +
+        # fresh logit_scale (linear_classifier_contrast.py Classifier)
+        from ..data.prompts import class_map
+        from ..models.classifier import ContrastiveClassifier
+
+        if encode_text is None:
+            raise ValueError(
+                f"--method {spec.method} needs a CLIP model (text tower)"
+            )
+        classnames = class_map(cfg.DATASET.DATASET, cfg.DATASET.ROOT) or [
+            f"class {i}" for i in range(num_classes)
+        ]
+        text_feats = np.asarray(
+            extract_text_features(encode_text, cfg, classnames=classnames)
+        )
+        model = ContrastiveClassifier(
+            backbone=model.backbone, text_features=text_feats
+        )
+        params = {
+            "backbone": params["backbone"],
+            "logit_scale": jnp.ones((), jnp.float32),
+        }
+        criterion = hybrid_contrastive_per_example
+
+    if bool(cfg.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER) and not contrastive and encode_text:
         text_feats = np.asarray(extract_text_features(encode_text, cfg))
         aux = variables.get("aux") or {}
         if "visual_proj" in aux:
@@ -93,12 +124,47 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     # cached-backbone path below, but init always runs the image path
     init_shape = tuple(splits.x_train.shape[1:])
 
+    # Per-cell re-init (the reference builds a fresh Classifier per cell,
+    # adapter_tuning_clip.py:231 — which RE-LOADS the pretrained backbone
+    # and randomizes only injected PEFT leaves + head).  Methods whose
+    # trainables are pretrained-backbone subsets (full, bitfit, layernorm,
+    # attention, first_*, contrastive) must reset those leaves to the
+    # grafted values, not to random init.
+    injected = spec.method in (
+        "lora", "lora_fix_one", "lora_moe", "lora_adapter",
+        "lora_compacter", "lora_drop_adapter", "adapter", "adapterdrop",
+        "compacter", "kadaptation", "rpb", "lepe", "transformer_probe",
+        "vpt",
+    )
+    fresh_mask = (
+        mask
+        if injected
+        else build_mask(
+            params,
+            "linear",  # head (and logit_scale below) only
+            num_layers=num_layers,
+            train_head=bool(cfg.PEFT.TRAIN_HEAD),
+            extra_regex="logit_scale",
+        )
+    )
+    from flax import traverse_util
+
+    _flat_params = traverse_util.flatten_dict(params, sep="/")
+    _flat_mask = traverse_util.flatten_dict(mask, sep="/")
+    _flat_fresh = traverse_util.flatten_dict(fresh_mask, sep="/")
+
     def init_trainable(rng):
-        # fresh PEFT/head leaves per sweep cell (the reference builds a
-        # fresh Classifier per cell, adapter_tuning_clip.py:231)
         p = model.init(rng, jnp.zeros((1, *init_shape)))["params"]
-        t, _ = split_params(p, mask)
-        return t
+        flat_new = traverse_util.flatten_dict(p, sep="/")
+        out = {
+            k: (
+                (flat_new[k] if _flat_fresh[k] else _flat_params[k])
+                if _flat_mask[k]
+                else None
+            )
+            for k in flat_new
+        }
+        return traverse_util.unflatten_dict(out, sep="/")
 
     apply_fn = lambda v, x, train: model.apply(v, x, train)
 

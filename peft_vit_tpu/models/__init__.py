@@ -1,4 +1,9 @@
-from .classifier import ClassifierHead, FeatureBatchNorm, ImageClassifier
+from .classifier import (
+    ClassifierHead,
+    ContrastiveClassifier,
+    FeatureBatchNorm,
+    ImageClassifier,
+)
 from .clip import CLIP, clip_from_config
 from .convert import (
     clip_state_dict_to_tree,
@@ -33,6 +38,7 @@ __all__ = [
     "FeatureBatchNorm",
     "FrozenBatchNorm",
     "HRNet",
+    "ContrastiveClassifier",
     "ImageClassifier",
     "ReXNet",
     "ResNet",

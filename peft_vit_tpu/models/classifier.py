@@ -75,6 +75,44 @@ class ClassifierHead(nn.Module):
         )(x)
 
 
+class ContrastiveClassifier(nn.Module):
+    """Image tower + trainable logit scale against a frozen class-text
+    feature bank.
+
+    Reference: linear_classifier_contrast.py Classifier (:62-98) — text
+    transformer frozen, fresh ``logit_scale = nn.Parameter(ones([]))``.
+    TPU-native re-design: the text tower is frozen, so the per-class text
+    features are precomputed ONCE (engine.zeroshot.extract_text_features)
+    instead of re-encoded every step; the model emits (B, C) pair logits
+    ``exp(logit_scale) * feats @ text^T``.  The hybrid-contrastive train
+    criterion recovers the (B, B) image-text pair matrix by indexing
+    columns with the batch labels; eval argmaxes over classes (the
+    zero-shot-style validate at :276-344).
+    """
+
+    backbone: nn.Module
+    text_features: Any  # (C, D) constant (L2-normalized)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        start_layer: int = 0,
+    ) -> jax.Array:
+        if start_layer > 0:  # cached-backbone path (engine/cached.py)
+            feats = self.backbone(images, not train, False, start_layer)
+        else:
+            feats = self.backbone(images, not train)
+        feats = feats.astype(jnp.float32)
+        scale = self.param(
+            "logit_scale", nn.initializers.ones, (), jnp.float32
+        )
+        txt = jnp.asarray(self.text_features, jnp.float32)
+        return jnp.exp(scale) * feats @ txt.T
+
+
 class ImageClassifier(nn.Module):
     """backbone -> head; the flagship PEFT fine-tuning model.
 

@@ -226,34 +226,38 @@ def build_image_classifier(
                 "=> grafted CLIP visual weights (%d fresh leaves)",
                 len(missing),
             )
+        # text tower for zero-shot / head init / contrastive methods —
+        # grafted from the checkpoint when present, fresh otherwise
+        text_src = None
+        if sd is not None and "visual.conv1.weight" in sd:
             if not info.get("has_text", True):
                 variables["params"] = params
                 return model, variables, None
-            # text tower for zero-shot / head init
-            text = TextTransformer(
-                vocab_size=info["vocab_size"],
-                context_length=info["context_length"],
-                width=info["text_width"],
-                layers=info["text_layers"],
-                heads=info["text_heads"],
-                output_dim=info["embed_dim"],
-                use_flash=use_flash,
-                dtype=dtype,
-            )
-            toks0 = jnp.ones((1, info["context_length"]), jnp.int32)
-            tparams = text.init(jax.random.PRNGKey(1), toks0)["params"]
             text_src = {
                 k[len("text/"):]: v
                 for k, v in flat_src.items()
                 if k.startswith("text/")
             }
+        text = TextTransformer(
+            vocab_size=info["vocab_size"],
+            context_length=info["context_length"],
+            width=info["text_width"],
+            layers=info["text_layers"],
+            heads=info["text_heads"],
+            output_dim=info["embed_dim"],
+            use_flash=use_flash,
+            dtype=dtype,
+        )
+        toks0 = jnp.ones((1, info["context_length"]), jnp.int32)
+        tparams = text.init(jax.random.PRNGKey(1), toks0)["params"]
+        if text_src is not None:
             tparams, _ = graft(tparams, text_src, strict=False)
 
-            def encode_text(tokens):
-                return text.apply({"params": tparams}, tokens)
+        def encode_text(tokens):
+            return text.apply({"params": tparams}, tokens)
 
-            # the zero-shot path tokenizes to the checkpoint's context
-            encode_text.context_length = info["context_length"]
+        # the zero-shot path tokenizes to the tower's context length
+        encode_text.context_length = info["context_length"]
 
     else:
         s = cfg.MODEL.SPEC

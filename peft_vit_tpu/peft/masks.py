@@ -90,6 +90,23 @@ def _method_predicate(
         return lambda p: f"blocks_{num_layers}/" in p
     if method == "vpt":
         return lambda p: "prompt_embeddings" in p
+    if method == "finetune_contrast":
+        # linear_classifier_contrast.py:73-86: text tower frozen; image
+        # tower + fresh logit_scale train
+        return lambda p: not p.startswith("text/")
+    if method == "linear_probe_contrast":
+        # TRAIN.FREEZE_IMAGE_BACKBONE freezes conv1/ln_pre/transformer
+        # (:78-80) — ln_post, proj, class/positional embeddings and
+        # logit_scale stay trainable
+        return lambda p: (
+            p.endswith("logit_scale")
+            or "ln_post" in p
+            or p.endswith("backbone/proj")
+            or "cls_token" in p
+            or "class_embedding" in p
+            or "pos_embed" in p
+            or "positional_embedding" in p
+        )
     if method == "intrinsic":
         # the intrinsic vector lives outside the model pytree; inside the
         # model nothing trains except the head

@@ -142,6 +142,9 @@ _METHOD_ALIASES = {
     "lepe": "lepe",
     "cswin": "lepe",
     "transformer_probe": "transformer_probe",
+    "finetune_contrast": "finetune_contrast",
+    "contrast": "finetune_contrast",
+    "linear_probe_contrast": "linear_probe_contrast",
     "vpt": "vpt",
     "prompt": "vpt",
     "intrinsic": "intrinsic",

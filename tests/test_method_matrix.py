@@ -54,6 +54,11 @@ def run_method(method, width=32, heads=2, dataset="synthetic"):
     cfg.PEFT.METHOD = method
     cfg.PEFT.ADAPTER_LAYERS = [1]
     cfg.PEFT.PHM_DIM = 4
+    if method.endswith("contrast"):
+        cfg.MODEL.SPEC.TEXT.WIDTH = 32
+        cfg.MODEL.SPEC.TEXT.LAYERS = 2
+        cfg.MODEL.SPEC.TEXT.HEADS = 2
+        cfg.MODEL.SPEC.TEXT.CONTEXT_LENGTH = 16
     np.random.seed(0)
     return finetune_main(cfg)
 
@@ -67,6 +72,16 @@ def test_method_end_to_end(method):
 @pytest.mark.parametrize("method", WIDE_METHODS)
 def test_wide_method_end_to_end(method):
     score = run_method(method, width=96, heads=2)
+    assert np.isfinite(score) and 0.0 <= score <= 100.0
+
+
+@pytest.mark.parametrize(
+    "method", ["finetune_contrast", "linear_probe_contrast"]
+)
+def test_contrastive_end_to_end(method):
+    # HybridContrastive fine-tune against the frozen class-text bank
+    # (linear_classifier_contrast.py) through the flagship driver
+    score = run_method(method)
     assert np.isfinite(score) and 0.0 <= score <= 100.0
 
 
