@@ -263,6 +263,14 @@ def load_split(cfg, split: str) -> Tuple[np.ndarray, np.ndarray]:
             [os.path.join(root, p) for p in tsv_list], size, num_classes
         )
 
+    # ELEVATER / vision-datasets manifest layout under DATASET.ROOT
+    # (coco-style index json + zip-packed images; feature.py:549-577)
+    from .elevater import load_elevater_split
+
+    manifest = load_elevater_split(cfg, split)
+    if manifest is not None:
+        return manifest
+
     npz = os.path.join(root, name, f"{split}.npz")
     if os.path.exists(npz):
         return load_npz(npz)

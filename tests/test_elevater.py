@@ -1,0 +1,163 @@
+"""ELEVATER / vision-datasets on-disk format reader tests: a fixture
+manifest (registry json + coco index + zip-packed images) loads through
+data.registry.load_split and the finetune driver."""
+
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image
+
+from peft_vit_tpu.config import get_default_config
+from peft_vit_tpu.data.elevater import (
+    find_dataset,
+    load_coco_split,
+    load_manifest_registry,
+)
+from peft_vit_tpu.data.registry import load_split
+
+
+def _png_bytes(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _make_manifest(
+    root, name="toy-manifest", multilabel=False, n=12, classes=3
+):
+    ds_dir = os.path.join(root, "classification", name)
+    os.makedirs(ds_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for split in ("train", "test"):
+        images, annotations = [], []
+        zip_path = os.path.join(ds_dir, f"{split}.zip")
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for i in range(n):
+                c = i % classes
+                im = np.full((20, 20, 3), 40 + 60 * c, np.uint8)
+                member = f"img_{i}.png"
+                zf.writestr(member, _png_bytes(im))
+                images.append(
+                    {"id": i + 1, "file_name": f"{split}.zip@{member}"}
+                )
+                annotations.append(
+                    {"id": i + 1, "image_id": i + 1, "category_id": c + 1}
+                )
+                if multilabel and i % 2 == 0:
+                    annotations.append(
+                        {
+                            "id": 1000 + i,
+                            "image_id": i + 1,
+                            "category_id": (c % classes) + 1
+                            if c + 2 > classes
+                            else c + 2,
+                        }
+                    )
+        index = {
+            "images": images,
+            "annotations": annotations,
+            "categories": [
+                {"id": c + 1, "name": f"thing {c}"} for c in range(classes)
+            ],
+        }
+        with open(os.path.join(ds_dir, f"{split}.json"), "w") as f:
+            json.dump(index, f)
+    entry = {
+        "name": name,
+        "version": 1,
+        "format": "coco",
+        "type": "classification_multilabel"
+        if multilabel
+        else "classification_multiclass",
+        "root_folder": f"classification/{name}",
+        "train": {
+            "index_path": "train.json",
+            "files_for_local_usage": ["train.zip"],
+            "num_images": n,
+        },
+        "test": {
+            "index_path": "test.json",
+            "files_for_local_usage": ["test.zip"],
+            "num_images": n,
+        },
+    }
+    with open(os.path.join(root, "vision_datasets.json"), "w") as f:
+        json.dump([entry], f)
+    return entry
+
+
+class TestElevaterReader:
+    def test_coco_split_multiclass(self, tmp_path):
+        root = str(tmp_path)
+        entry = _make_manifest(root)
+        x, y, names = load_coco_split(root, entry, "train", 16)
+        assert x.shape == (12, 16, 16, 3) and x.dtype == np.uint8
+        np.testing.assert_array_equal(y, np.arange(12) % 3)
+        assert names == ["thing 0", "thing 1", "thing 2"]
+        # pixel value encodes the class
+        assert int(x[1, 0, 0, 0]) == 100
+
+    def test_coco_split_multilabel(self, tmp_path):
+        root = str(tmp_path)
+        entry = _make_manifest(root, name="toy-ml", multilabel=True)
+        x, y, _ = load_coco_split(root, entry, "train", 16)
+        assert y.shape == (12, 3)
+        assert (y.sum(axis=1) >= 1).all()
+        assert (y.sum(axis=1) > 1).any()
+
+    def test_registry_resolution(self, tmp_path):
+        root = str(tmp_path)
+        _make_manifest(root, name="toy-registry")
+        reg = load_manifest_registry(
+            os.path.join(root, "vision_datasets.json")
+        )
+        assert find_dataset(reg, "toy-registry") is not None
+        assert find_dataset(reg, "nope") is None
+
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "toy-registry"
+        cfg.DATASET.ROOT = root
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        x, y = load_split(cfg, "test")
+        assert len(x) == 12 and len(y) == 12
+        # class names registered for zero-shot / text-head init
+        from peft_vit_tpu.data.prompts import class_map
+
+        assert class_map("toy-registry") == [
+            "thing 0",
+            "thing 1",
+            "thing 2",
+        ]
+
+    def test_driver_end_to_end_on_manifest(self, tmp_path):
+        from peft_vit_tpu.commands.run import finetune_main
+
+        root = str(tmp_path)
+        _make_manifest(root, name="toy-e2e", n=24, classes=3)
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "toy-e2e"
+        cfg.DATASET.ROOT = root
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.DATASET.NUM_SAMPLES_PER_CLASS = 4
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        cfg.TRAIN.BATCH_SIZE_PER_GPU = 4
+        cfg.TRAIN.END_EPOCH = 2
+        cfg.TRAIN.SCHEDULE = []
+        cfg.TRAIN.NO_TUNING = True
+        cfg.TRAIN.LR = 0.05
+        cfg.TRAIN.WD = 1e-4
+        cfg.MODEL.NAME = "clip_tiny"
+        cfg.MODEL.SPEC.EMBED_DIM = 32
+        cfg.MODEL.SPEC.VISION.PATCH_SIZE = 8
+        cfg.MODEL.SPEC.VISION.WIDTH = 32
+        cfg.MODEL.SPEC.VISION.LAYERS = 2
+        cfg.MODEL.SPEC.VISION.HEADS = 2
+        cfg.PEFT.METHOD = "linear"
+        score = finetune_main(cfg)
+        assert np.isfinite(score) and 0.0 <= score <= 100.0
