@@ -30,7 +30,9 @@ from .resnet import (
 from .rexnet import ReXNet
 from .swin import SwinTransformer
 from .text import TextTransformer
+from .ssl_swin import build_ssl_swin, extract_n_last_blocks, multi_crop_forward
 from .vit import VisionTransformer
+from .vit_conv import ConvViT
 
 __all__ = [
     "CLIP",
@@ -45,7 +47,11 @@ __all__ = [
     "SqueezeExcite",
     "SwinTransformer",
     "TextTransformer",
+    "ConvViT",
     "VisionTransformer",
+    "build_ssl_swin",
+    "extract_n_last_blocks",
+    "multi_crop_forward",
     "bit_resnet50",
     "build_image_classifier",
     "clip_from_config",

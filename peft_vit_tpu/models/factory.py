@@ -39,10 +39,22 @@ def is_clip_model(cfg) -> bool:
     return "clip" in name
 
 
+def is_convvit_model(cfg) -> bool:
+    # cls_vit_conv / cls_vit_cswin (which is a LePE+res_score ViT, not a
+    # windowed Swin — see models/vit_conv.py docstring)
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return (
+        "vit_conv" in name
+        or "cswin" in name
+        or vm in ("vit_conv", "cswin")
+    )
+
+
 def is_swin_model(cfg) -> bool:
     name = str(cfg.MODEL.NAME).lower()
     vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
-    return "swin" in name or vm == "swin"
+    return ("swin" in name and "cswin" not in name) or vm == "swin"
 
 
 def is_resnet_model(cfg) -> bool:
@@ -274,6 +286,32 @@ def build_image_classifier(
             backbone = _build_hrnet_backbone(cfg, dtype)
         elif is_resnet_model(cfg):
             backbone = _build_resnet_backbone(cfg, dtype)
+        elif is_convvit_model(cfg):
+            from .vit_conv import ConvViT
+
+            v = cfg.MODEL.SPEC.VISION
+            is_cswin = "cswin" in str(cfg.MODEL.NAME).lower() or str(
+                v.get("MODEL", "")
+            ).lower() == "cswin"
+            backbone = ConvViT(
+                image_size=size,
+                patch_size=int(v.PATCH_SIZE),
+                width=int(v.WIDTH),
+                layers=int(v.LAYERS),
+                heads=int(v.HEADS),
+                mlp_ratio=float(v.get("MLP_RATIO", 4.0)),
+                use_cls_token=bool(v.get("USE_CLS_TOKEN", True)),
+                norm_embed=bool(v.get("NORM_EMBED", False)),
+                has_attn=bool(v.get("HAS_ATTN", True)),
+                has_mlp=bool(v.get("HAS_MLP", True)),
+                has_conv=bool(v.get("HAS_CONV", not is_cswin)),
+                add_cls=bool(v.get("ADD_CLS", False)),
+                conv_ratio=float(v.get("CONV_RATIO", 1.0)),
+                lepe=is_cswin or bool(v.get("LEPE", False)),
+                res_score=bool(v.get("RES_SCORE", False)),
+                drop_path_rate=float(v.get("DROP_PATH_RATE", 0.0)),
+                dtype=dtype,
+            )
         elif is_swin_model(cfg):
             backbone = _build_swin_backbone(
                 cfg, spec, None, dtype, use_flash
@@ -303,6 +341,7 @@ def build_image_classifier(
             is_resnet_model(cfg)
             or is_hrnet_model(cfg)
             or is_rexnet_model(cfg)
+            or is_convvit_model(cfg)
         ):
             timm_src = {
                 "backbone/" + k: v

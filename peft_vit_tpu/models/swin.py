@@ -185,11 +185,22 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     spec: PEFTSpec = PEFTSpec()
     use_flash: bool = True
+    drop_path: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _drop_path(self, t, deterministic):
+        if self.drop_path == 0.0 or deterministic:
+            return t
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (t.shape[0], 1, 1))
+        return t * mask.astype(t.dtype) / keep
+
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
         """x: (B, H*W, C)."""
         hres, wres = self.input_resolution
         b, n, c = x.shape
@@ -218,7 +229,7 @@ class SwinBlock(nn.Module):
         y = window_merge(attn, ws, hres, wres)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = shortcut + y.reshape(b, n, c)
+        x = shortcut + self._drop_path(y.reshape(b, n, c), deterministic)
 
         m = LayerNorm(name="ln_2", param_dtype=self.param_dtype)(x)
         m = nn.Dense(
@@ -234,7 +245,7 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(m)
-        return x + m
+        return x + self._drop_path(m, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -274,13 +285,25 @@ class SwinTransformer(nn.Module):
     output_dim: Optional[int] = None  # CLIP-Swin projection
     spec: PEFTSpec = PEFTSpec()
     use_flash: bool = True
+    # SSL-Swin options (ssl_swin.py:600-653): absolute position embedding,
+    # patch-embed norm toggle, stochastic depth (teacher variant uses 0)
+    ape: bool = False
+    patch_norm: bool = True
+    drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, deterministic: bool = True
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        n_last_blocks: int = 0,
     ) -> jax.Array:
+        """n_last_blocks > 0: return the concatenation of the avg-pooled
+        features of the last n blocks (the SSL linear-eval protocol,
+        ssl_swin.py forward_return_n_last_blocks:775-814; only last-stage
+        blocks get the final norm, matching :803-805)."""
         b = x.shape[0]
         g = self.image_size // self.patch_size
         x = nn.Conv(
@@ -293,10 +316,25 @@ class SwinTransformer(nn.Module):
             param_dtype=self.param_dtype,
         )(x.astype(self.dtype))
         x = x.reshape(b, g * g, self.embed_dim)
-        x = LayerNorm(name="pos_norm", param_dtype=self.param_dtype)(x)
+        if self.patch_norm:
+            x = LayerNorm(name="pos_norm", param_dtype=self.param_dtype)(x)
+        if self.ape:
+            pos = self.param(
+                "absolute_pos_embed",
+                nn.initializers.normal(stddev=0.02),
+                (g * g, self.embed_dim),
+                self.param_dtype,
+            )
+            x = x + pos.astype(self.dtype)[None]
 
+        total_blocks = sum(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, max(total_blocks, 1))
+        final_norm = LayerNorm(name="norm", param_dtype=self.param_dtype)
+        block_feats = []  # avg-pooled per block (for n_last_blocks)
+        blk_idx = 0
         res = g
         dim = self.embed_dim
+        last_stage = len(self.depths) - 1
         for si, (depth, heads) in enumerate(
             zip(self.depths, self.num_heads)
         ):
@@ -310,10 +348,17 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     spec=self.spec,
                     use_flash=self.use_flash,
+                    drop_path=float(dpr[blk_idx]),
                     name=f"stage{si}_block{bi}",
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
-                )(x)
+                )(x, deterministic)
+                blk_idx += 1
+                if n_last_blocks > 0 and blk_idx > total_blocks - n_last_blocks:
+                    # the final norm applies only to last-stage features
+                    # (shared weights with the head norm; :803-805)
+                    feat = final_norm(x) if si == last_stage else x
+                    block_feats.append(feat.mean(axis=1))
             if si < len(self.depths) - 1:
                 x = PatchMerging(
                     (res, res),
@@ -325,7 +370,9 @@ class SwinTransformer(nn.Module):
                 res //= 2
                 dim *= 2
 
-        x = LayerNorm(name="norm", param_dtype=self.param_dtype)(x)
+        if n_last_blocks > 0:
+            return jnp.concatenate(block_feats, axis=-1)
+        x = final_norm(x)
         pooled = x.mean(axis=1)
         if self.output_dim is not None:
             proj = self.param(
