@@ -266,9 +266,14 @@ def load_torch_checkpoint(
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
-        if not allow_pickle:
-            raise
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+        # OpenAI CLIP ships TorchScript archives (clip_load.py:95-110
+        # loads them with torch.jit.load and takes the state dict)
+        try:
+            obj = torch.jit.load(path, map_location="cpu").state_dict()
+        except Exception:
+            if not allow_pickle:
+                raise
+            obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:

@@ -1,0 +1,153 @@
+"""Generate golden arrays for the reference's PEFT quirks.
+
+Run once (CPU, deterministic) and check the .npz files in:
+
+    PYTHONPATH= python tests/golden/generate_golden.py
+
+The math is an independent torch re-implementation of the two quirky
+reference computations, written from reading the reference code — NOT an
+import of it:
+
+* post-scale-q LoRA attention (evaluation/lora_model.py:719-738):
+  q is scaled by 1/sqrt(head_dim) BEFORE the LoRA delta is added, so the
+  delta enters the scores unscaled; adapter_forward (:491-515) applies
+  alpha/r on the up-projection.  NOTE the reference then reshapes the
+  (N, B, C) delta straight to (B*H, N, C/H) without a permute — a layout
+  scramble we deliberately do NOT reproduce (documented in PARITY.md);
+  the golden uses the proper per-head layout with the pre-scale quirk.
+* double-mlp adapter residual (evaluation/adapter_model.py:330-342):
+  x = x + adapter(mlp(ln_2(x))) where the adapter's return already
+  includes +mlp_out — the MLP output is effectively counted once inside
+  the adapter residual, and the adapter path replaces the plain +mlp.
+  Adapter = LN -> down -> relu -> up, +input (adapter_model.py:204-296).
+"""
+
+import os
+
+import numpy as np
+import torch
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def quick_gelu(x):
+    return x * torch.sigmoid(1.702 * x)
+
+
+def gen_lora_post_scale_q(seed=0, b=2, n=5, d=16, h=4, r=2, alpha=8.0):
+    g = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g, dtype=torch.float32) * 0.2
+
+    x = rand(b, n, d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    a_q, b_q = rand(r, d), rand(d, r)
+    a_v, b_v = rand(r, d), rand(d, r)
+    w_out, b_out = rand(d, d), rand(d)
+
+    hd = d // h
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+    scale_factor = alpha / r
+    dq = (x @ a_q.T) @ b_q.T * scale_factor
+    dv = (x @ a_v.T) @ b_v.T * scale_factor
+    # the quirk: q is pre-scaled, the delta is not (lora_model.py:719-731)
+    q = q / hd**0.5 + dq
+    v = v + dv
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    attn = torch.softmax(qh @ kh.transpose(-2, -1), dim=-1)
+    out = (attn @ vh).permute(0, 2, 1, 3).reshape(b, n, d)
+    out = out @ w_out.T + b_out
+
+    np.savez(
+        os.path.join(HERE, "lora_post_scale_q.npz"),
+        x=x.numpy(),
+        w_qkv=w_qkv.numpy(),
+        b_qkv=b_qkv.numpy(),
+        a_q=a_q.numpy(),
+        b_q=b_q.numpy(),
+        a_v=a_v.numpy(),
+        b_v=b_v.numpy(),
+        w_out=w_out.numpy(),
+        b_out=b_out.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+        rank=np.asarray(r),
+        alpha=np.asarray(alpha),
+    )
+    print("lora_post_scale_q:", out.shape, float(out.abs().mean()))
+
+
+def gen_adapter_double_mlp(seed=1, b=2, n=5, d=16, h=4, ad=8):
+    g = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g, dtype=torch.float32) * 0.2
+
+    x = rand(b, n, d)
+    x0 = x.clone()
+    ln1_w, ln1_b = rand(d) + 1.0, rand(d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    w_out, b_out = rand(d, d), rand(d)
+    ln2_w, ln2_b = rand(d) + 1.0, rand(d)
+    w_fc, b_fc = rand(4 * d, d), rand(4 * d)
+    w_proj, b_proj = rand(d, 4 * d), rand(d)
+    lna_w, lna_b = rand(d) + 1.0, rand(d)
+    w_down, b_down = rand(ad, d), rand(ad)
+    w_up, b_up = rand(d, ad), rand(d)
+
+    def ln(t, w, bias):
+        mu = t.mean(-1, keepdim=True)
+        var = t.var(-1, unbiased=False, keepdim=True)
+        return (t - mu) / torch.sqrt(var + 1e-5) * w + bias
+
+    hd = d // h
+    y = ln(x, ln1_w, ln1_b)
+    qkv = y @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    attn = torch.softmax(
+        heads(q) @ heads(k).transpose(-2, -1) * hd**-0.5, dim=-1
+    )
+    a = (attn @ heads(v)).permute(0, 2, 1, 3).reshape(b, n, d)
+    x = x + (a @ w_out.T + b_out)
+
+    m = ln(x, ln2_w, ln2_b)
+    m = quick_gelu(m @ w_fc.T + b_fc) @ w_proj.T + b_proj
+    # adapter(m) = up(relu(down(ln(m)))) + m; block adds it to x
+    # (adapter_model.py:333: x = x + adapter(mlp(ln_2(x)))[0])
+    z = ln(m, lna_w, lna_b)
+    z = torch.relu(z @ w_down.T + b_down)
+    z = z @ w_up.T + b_up
+    out = x + (z + m)
+
+    np.savez(
+        os.path.join(HERE, "adapter_double_mlp.npz"),
+        x=x0.numpy(),
+        ln1_w=ln1_w.numpy(), ln1_b=ln1_b.numpy(),
+        w_qkv=w_qkv.numpy(), b_qkv=b_qkv.numpy(),
+        w_out=w_out.numpy(), b_out=b_out.numpy(),
+        ln2_w=ln2_w.numpy(), ln2_b=ln2_b.numpy(),
+        w_fc=w_fc.numpy(), b_fc=b_fc.numpy(),
+        w_proj=w_proj.numpy(), b_proj=b_proj.numpy(),
+        lna_w=lna_w.numpy(), lna_b=lna_b.numpy(),
+        w_down=w_down.numpy(), b_down=b_down.numpy(),
+        w_up=w_up.numpy(), b_up=b_up.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+        adapter_dim=np.asarray(ad),
+    )
+    print("adapter_double_mlp:", out.shape, float(out.abs().mean()))
+
+
+if __name__ == "__main__":
+    gen_lora_post_scale_q()
+    gen_adapter_double_mlp()
