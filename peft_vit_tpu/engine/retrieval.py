@@ -80,20 +80,12 @@ class FakedImageCaptionModel:
 def image_caption_eval(
     model, images, references: List[List[str]]
 ) -> Dict[str, float]:
-    """Minimal caption benchmark plumbing: BLEU-1 against references
-    (the reference defers to the COCO caption toolkit; this keeps the
-    harness runnable offline)."""
+    """Caption benchmark with the COCO toolkit metric set (BLEU-1..4,
+    ROUGE-L, CIDEr-D — engine.caption_metrics implements the published
+    formulas natively, replacing the reference's pycocoevalcap import)."""
+    from .caption_metrics import coco_caption_metrics
+
     captions = model.generate(images)
-    scores = []
-    for cap, refs in zip(captions, references):
-        cand = cap.lower().split()
-        if not cand:
-            scores.append(0.0)
-            continue
-        best = 0.0
-        for r in refs:
-            ref = r.lower().split()
-            matches = sum(min(cand.count(w), ref.count(w)) for w in set(cand))
-            best = max(best, matches / len(cand))
-        scores.append(best)
-    return {"bleu1": float(100.0 * np.mean(scores))}
+    out = coco_caption_metrics(captions, references)
+    out["bleu1"] = out["Bleu_1"]  # round-1 key kept for compatibility
+    return out

@@ -67,6 +67,58 @@ class TestCaption:
             [["a photo of food"], ["something else entirely"]],
         )
         assert 0.0 < m["bleu1"] <= 100.0
+        for key in ("Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"):
+            assert key in m
+
+    def test_coco_metrics_perfect_match(self):
+        from peft_vit_tpu.engine.caption_metrics import (
+            bleu,
+            cider_d,
+            coco_caption_metrics,
+            rouge_l,
+        )
+
+        cands = [
+            "a dog runs in the park",
+            "two cats sleep on a mat",
+            "a red car on the street",
+        ]
+        refs = [[c] for c in cands]
+        b = bleu(cands, refs)
+        assert all(abs(x - 100.0) < 1e-9 for x in b)
+        assert rouge_l(cands, refs) == pytest.approx(100.0)
+        # identical candidate = cosine 1 per n, scaled x10
+        assert cider_d(cands, refs) == pytest.approx(10.0, abs=1e-6)
+        m = coco_caption_metrics(cands, refs)
+        assert m["Bleu_4"] == pytest.approx(100.0)
+
+    def test_coco_metrics_partial_match(self):
+        from peft_vit_tpu.engine.caption_metrics import bleu, rouge_l
+
+        # candidate shares 3 of 4 unigrams with the reference
+        cands = ["the cat sat down"]
+        refs = [["the cat sat up"]]
+        b = bleu(cands, refs)
+        assert b[0] == pytest.approx(75.0)
+        assert b[3] < b[0]
+        r = rouge_l(cands, refs)
+        assert 0.0 < r < 100.0
+
+    def test_cider_rewards_specificity(self):
+        from peft_vit_tpu.engine.caption_metrics import cider_d
+
+        refs = [
+            ["a photo of a golden retriever"],
+            ["a photo of a sports car"],
+            ["a photo of a mountain lake"],
+        ]
+        specific = [
+            "a photo of a golden retriever",
+            "a photo of a sports car",
+            "a photo of a mountain lake",
+        ]
+        generic = ["a photo of a", "a photo of a", "a photo of a"]
+        assert cider_d(specific, refs) > cider_d(generic, refs)
 
 
 class TestSubmission:
