@@ -26,6 +26,7 @@ def make_sharded_train_step(
     momentum: float = 0.9,
     nesterov: bool = True,
     donate: bool = True,
+    zero1: bool = False,
 ):
     """Returns (train_step, place) where
 
@@ -33,6 +34,9 @@ def make_sharded_train_step(
       jitted SPMD program over `mesh`;
     * ``place(state, frozen)`` device-puts state/frozen with the mesh's
       param shardings (tensor-parallel where rules apply).
+    * ``zero1=True`` shards the momentum buffers over the data axis
+      (ZeRO-1: GSPMD lowers the gradient all-reduce to reduce-scatter +
+      all-gather around the sharded optimizer update).
     """
 
     def loss_fn(trainable, frozen, x, y):
@@ -58,14 +62,19 @@ def make_sharded_train_step(
         return new_state, loss
 
     def place(state: TrainCellState, frozen):
-        from .mesh import shard_tree_like
+        from .mesh import shard_tree_like, zero_param_shardings
 
         tsh = param_shardings(mesh, state.trainable)
         fsh = param_shardings(mesh, frozen)
+        osh = (
+            zero_param_shardings(mesh, state.opt.momentum)
+            if zero1
+            else tsh
+        )
         state = TrainCellState(
             trainable=shard_tree_like(state.trainable, tsh),
             opt=type(state.opt)(
-                shard_tree_like(state.opt.momentum, tsh)
+                shard_tree_like(state.opt.momentum, osh)
             ),
             step=jax.device_put(state.step, rep),
         )

@@ -125,6 +125,55 @@ class TestShardedTraining:
             float(loss_sharded), loss_ref, rtol=1e-5
         )
 
+    def test_zero1_optimizer_sharding_matches(self):
+        """ZeRO-1 momentum sharding over the data axis must be
+        numerically identical to the replicated-optimizer step."""
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(data=8, model=1)
+        model = small_model()
+        x = jax.random.normal(jax.random.PRNGKey(2), (16, 32, 32, 3))
+        y = jnp.arange(16) % 8
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        mask = build_mask(params, "lora", num_layers=2)
+        trainable, frozen = split_params(params, mask)
+        apply_fn = lambda v, xx, t: model.apply(v, xx, t)
+
+        results = {}
+        for zero1 in (False, True):
+            step, place = make_sharded_train_step(
+                apply_fn, ce_per_example, mesh, zero1=zero1, donate=False
+            )
+            state, frozen_p = place(init_cell_state(trainable), frozen)
+            if zero1:
+                # big momentum leaves really are partitioned over `data`
+                shardings = [
+                    b.sharding
+                    for b in jax.tree_util.tree_leaves(state.opt.momentum)
+                    if b.size >= 8
+                ]
+                assert any(
+                    "data" in str(s.spec)
+                    for s in shardings
+                    if isinstance(s, NamedSharding)
+                ), shardings
+            for _ in range(2):
+                state, loss = step(
+                    state, frozen_p, x, y,
+                    jnp.float32(1e-2), jnp.float32(1e-4),
+                )
+            results[zero1] = (
+                jax.tree_util.tree_map(np.asarray, state.trainable),
+                float(loss),
+            )
+        t0, l0 = results[False]
+        t1, l1 = results[True]
+        assert l0 == pytest.approx(l1, rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t0), jax.tree_util.tree_leaves(t1)
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
     def test_eval_step_sharded(self):
         mesh = make_mesh(data=8, model=1)
         model = small_model()
