@@ -176,11 +176,14 @@ class TestStreamingSource:
 
 @needs_native
 class TestStreamingTrainer:
-    def test_train_main_streams_tsv(self, tsv_shard):
+    def test_train_main_streams_tsv(self, tsv_shard, tmp_path):
         from peft_vit_tpu.commands.train import train_main
 
         cfg = _cfg(tsv_shard, batch=1)
         cfg.TRAIN.END_EPOCH = 4
+        # isolated checkpoint dir: the default OUTPUT_DIR is shared across
+        # tests and AUTO_RESUME would pick up another test's checkpoints
+        cfg.OUTPUT_DIR = str(tmp_path)
         cfg.freeze()
         best = train_main(cfg)
         assert np.isfinite(best)
