@@ -151,6 +151,38 @@ def warmup_cosine_schedule(
     return schedule
 
 
+def cyclic_schedule(
+    base_lr: float,
+    max_lr: float,
+    step_size_up: int,
+    step_size_down: int = 0,
+    mode: str = "triangular",
+    gamma: float = 1.0,
+) -> optax.Schedule:
+    """torch.optim.lr_scheduler.CyclicLR semantics (lib/scheduler/build.py
+    CyclicLR branch): triangular / triangular2 / exp_range."""
+    down = step_size_down or step_size_up
+    period = step_size_up + down
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        cycle = jnp.floor(1.0 + count / period)
+        pos = count - (cycle - 1.0) * period
+        frac = jnp.where(
+            pos < step_size_up,
+            pos / step_size_up,
+            1.0 - (pos - step_size_up) / down,
+        )
+        amp = max_lr - base_lr
+        if mode == "triangular2":
+            amp = amp / (2.0 ** (cycle - 1.0))
+        elif mode == "exp_range":
+            amp = amp * gamma**count
+        return base_lr + amp * jnp.clip(frac, 0.0, 1.0)
+
+    return schedule
+
+
 def build_lr_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
     method = str(cfg.TRAIN.LR_SCHEDULER.METHOD).lower()
     base_lr = float(cfg.TRAIN.LR)
@@ -173,6 +205,16 @@ def build_lr_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
         )
     if method == "constant":
         return optax.constant_schedule(base_lr)
+    if method in ("cyclic", "cycliclr"):
+        args = cfg.TRAIN.LR_SCHEDULER
+        return cyclic_schedule(
+            base_lr,
+            float(args.get("MAX_LR", base_lr * 10)),
+            int(args.get("STEP_SIZE_UP", 2000)),
+            int(args.get("STEP_SIZE_DOWN", 0)),
+            str(args.get("CYCLIC_MODE", "triangular")),
+            float(args.get("CYCLIC_GAMMA", 1.0)),
+        )
     if method in ("swalr", "swa"):
         # SWALR: anneal to SWA.LR_RATIO * base over ANNEAL_EPOCHS after
         # SWA.BEGIN_EPOCH (torch.optim.swa_utils.SWALR; tools/swa_finetune.py)

@@ -108,9 +108,23 @@ class TestSchedules:
         assert float(s(10)) == pytest.approx(1.0, rel=1e-2)
         assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
 
+    def test_cyclic(self):
+        from peft_vit_tpu.engine.optim import cyclic_schedule
+
+        s = cyclic_schedule(0.1, 1.0, step_size_up=10)
+        assert float(s(0)) == pytest.approx(0.1)
+        assert float(s(10)) == pytest.approx(1.0)  # peak
+        assert float(s(20)) == pytest.approx(0.1)  # trough
+        assert float(s(25)) == pytest.approx(0.55)
+        # triangular2 halves the amplitude per cycle
+        s2 = cyclic_schedule(0.1, 1.0, 10, mode="triangular2")
+        assert float(s2(30)) == pytest.approx(0.1 + 0.45)
+
     def test_build_from_config(self):
         cfg = get_default_config()
-        for method in ("step", "cosine", "warmupcosine", "constant"):
+        for method in (
+            "step", "cosine", "warmupcosine", "constant", "cyclic", "swalr"
+        ):
             cfg.TRAIN.LR_SCHEDULER.METHOD = method
             s = build_lr_schedule(cfg, steps_per_epoch=10)
             assert np.isfinite(float(s(5)))
