@@ -34,13 +34,23 @@ def train_main(cfg) -> float:
     # streaming path (TRAIN_TSV_LIST + native runtime): the dataset is
     # never materialized in host RAM — decode/prefetch runs in the C++
     # ring (tools/train.py:26,154-155 DataLoader-worker analog)
+    # device-side timm-aug: batches ship raw uint8; the jitted step
+    # augments + normalizes (data/augment.py)
+    from ..data.augment import make_train_transform
+
+    device_transform = make_train_transform(cfg) is not None
+
     streaming = bool(cfg.DATASET.TRAIN_TSV_LIST) and native_available()
     if streaming:
         from ..data.streaming import StreamingSource
 
-        train_src = StreamingSource(cfg, "train")
+        train_src = StreamingSource(
+            cfg, "train", normalize=not device_transform
+        )
         eval_src = (
-            StreamingSource(cfg, "test")
+            StreamingSource(
+                cfg, "test", normalize=not device_transform
+            )
             if cfg.DATASET.TEST_TSV_LIST
             else None
         )
@@ -55,7 +65,7 @@ def train_main(cfg) -> float:
                 "native runtime unavailable: TSV data will be fully "
                 "materialized in host RAM"
             )
-        splits = construct_splits(cfg)
+        splits = construct_splits(cfg, normalize=not device_transform)
         num_classes = splits.num_classes
         train_src = eval_src = None
 
@@ -98,7 +108,9 @@ def train_main(cfg) -> float:
         if eval_src is not None:
             eval_batches = lambda: eval_src.device_batches(0)
         else:
-            eval_splits = construct_splits(cfg, test_split_only=True)
+            eval_splits = construct_splits(
+                cfg, test_split_only=True, normalize=not device_transform
+            )
 
             def eval_batches():
                 return batch_iterator(

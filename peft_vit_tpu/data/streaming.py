@@ -60,8 +60,12 @@ def prefetch_to_device(
 class StreamingSource:
     """Config -> per-epoch normalized batch iterators over TSV shards."""
 
-    def __init__(self, cfg, split: str = "train"):
+    def __init__(self, cfg, split: str = "train", normalize: bool = True):
         import jax
+
+        # normalize=False ships raw uint8 (device-side timm-aug path:
+        # the jitted step augments + normalizes; 4x less host->HBM bytes)
+        self.normalize = normalize
 
         if not native_available():
             raise RuntimeError(
@@ -125,6 +129,8 @@ class StreamingSource:
         return self._labels
 
     def _normalize(self, x_u8: np.ndarray) -> np.ndarray:
+        if not self.normalize:
+            return x_u8
         return (x_u8.astype(np.float32) - self.mean) / self.std
 
     def batches(self, epoch: int = 0):
@@ -148,7 +154,8 @@ class StreamingSource:
                 if count < self.batch:
                     break  # drop_last
                 x = self._normalize(x)
-                if self.flip:
+                # raw-u8 mode leaves flips to the device-side transform
+                if self.flip and self.normalize:
                     sel = rng.rand(len(x)) < 0.5
                     x[sel] = x[sel, :, ::-1]
                 yield x, y

@@ -125,6 +125,16 @@ class Trainer:
             cfg.DATASET.NUM_CLASSES
         )
 
+        # device-side timm-aug (RandAugment/RandomErasing on the raw
+        # [0,255] batch inside the jitted step; data/augment.py) — when
+        # active, batches must arrive UN-normalized and eval normalizes
+        # on device too
+        from ..data.augment import make_train_transform
+
+        self.train_transform = make_train_transform(cfg)
+        self._norm_mean = jnp.asarray(cfg.INPUT.MEAN, jnp.float32) * 255.0
+        self._norm_std = jnp.asarray(cfg.INPUT.STD, jnp.float32) * 255.0
+
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_fn)
 
@@ -143,8 +153,13 @@ class Trainer:
 
         has_bn = self.has_bn
 
+        transform = self.train_transform
+
         def loss_fn(trainable, frozen, batch_stats, x, y, rng):
             params = merge_params(trainable, frozen)
+            if transform is not None:
+                rng, t_rng = jax.random.split(rng)
+                x = transform(t_rng, x)
             if use_mixup:
                 x, y = mixup_cutmix(
                     rng,
@@ -211,6 +226,9 @@ class Trainer:
 
     def _eval_fn(self, trainable, frozen, batch_stats, x):
         params = merge_params(trainable, frozen)
+        if self.train_transform is not None:
+            # train batches are raw: eval normalizes on device
+            x = (x.astype(jnp.float32) - self._norm_mean) / self._norm_std
         variables = {"params": params}
         if self.has_bn:
             variables["batch_stats"] = batch_stats
