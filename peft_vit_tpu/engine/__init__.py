@@ -39,10 +39,19 @@ from .zeroshot import (
     extract_image_features,
     extract_text_features,
 )
+from .caption_metrics import coco_caption_metrics
 from .contrastive import (
     clip_contrastive_step_fn,
     contrastive_eval_logits,
+    hybrid_contrastive_per_example,
     hybrid_contrastive_step_fn,
+    make_clip_train_step,
+)
+from .ssl import (
+    MobyEncoder,
+    MobyState,
+    init_moby_state,
+    make_moby_train_step,
 )
 from .probes import (
     logistic_probe_sweep,
@@ -67,6 +76,13 @@ __all__ = [
     "Trainer",
     "batch_iterator",
     "clip_contrastive_step_fn",
+    "coco_caption_metrics",
+    "hybrid_contrastive_per_example",
+    "make_clip_train_step",
+    "MobyEncoder",
+    "MobyState",
+    "init_moby_state",
+    "make_moby_train_step",
     "clip_zeroshot_evaluator",
     "contrastive_eval_logits",
     "dump_nan_state",
