@@ -299,6 +299,7 @@ class MultiHeadAttention(nn.Module):
     n_prefix: int = 1  # tokens before the patch grid (cls + prompts)
     causal: bool = False
     use_flash: bool = True
+    softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -481,6 +482,7 @@ class MultiHeadAttention(nn.Module):
             scale=attn_scale,
             # True = auto (kernel for long sequences, XLA otherwise)
             use_flash=None if self.use_flash else False,
+            softmax_fp32=self.softmax_fp32,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
 
@@ -528,6 +530,7 @@ class Block(nn.Module):
     n_prefix: int = 1
     causal: bool = False
     use_flash: bool = True
+    softmax_fp32: bool = True
     drop_path: float = 0.0
     ln_fp32: bool = True
     dtype: Dtype = jnp.float32
@@ -546,6 +549,7 @@ class Block(nn.Module):
             n_prefix=self.n_prefix,
             causal=self.causal,
             use_flash=self.use_flash,
+            softmax_fp32=self.softmax_fp32,
             name="attn",
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -57,6 +57,7 @@ class _BlockCell(nn.Module):
     grid_size: int
     n_prefix: int
     use_flash: bool
+    softmax_fp32: bool
     remat: bool
     ln_fp32: bool
     dtype: Dtype
@@ -97,6 +98,7 @@ class VisionTransformer(nn.Module):
     output_dim: Optional[int] = None  # CLIP projection dim; None = width
     spec: PEFTSpec = PEFTSpec()
     use_flash: bool = True
+    softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
     remat: bool = False
     drop_path_rate: float = 0.0
     ln_fp32: bool = True
@@ -250,6 +252,7 @@ class VisionTransformer(nn.Module):
                 g,
                 n_prefix,
                 self.use_flash,
+                self.softmax_fp32,
                 self.remat,
                 self.ln_fp32,
                 self.dtype,
@@ -292,6 +295,7 @@ class VisionTransformer(nn.Module):
                 grid_size=g,
                 n_prefix=n_prefix,
                 use_flash=self.use_flash,
+                softmax_fp32=self.softmax_fp32,
                 drop_path=float(dpr[i]),
                 ln_fp32=self.ln_fp32,
                 name=f"blocks_{i}",

@@ -27,6 +27,40 @@ class TestFlashAttention:
         out = multi_head_attention(q, k, v, use_flash=True, interpret=True)
         np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
 
+    def test_bf16_softmax_close_to_fp32(self):
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q, k, v = (
+            jax.random.normal(kk, (2, 4, 197, 64), jnp.bfloat16)
+            for kk in ks
+        )
+        ref = multi_head_attention(q, k, v, use_flash=False)
+        fast = multi_head_attention(
+            q, k, v, use_flash=False, softmax_fp32=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32),
+            np.asarray(ref, np.float32),
+            atol=2e-2,
+            rtol=2e-2,
+        )
+        # gradients flow and stay close
+        g_ref = jax.grad(
+            lambda q: jnp.sum(multi_head_attention(q, k, v, use_flash=False))
+        )(q)
+        g_fast = jax.grad(
+            lambda q: jnp.sum(
+                multi_head_attention(
+                    q, k, v, use_flash=False, softmax_fp32=False
+                )
+            )
+        )(q)
+        np.testing.assert_allclose(
+            np.asarray(g_fast, np.float32),
+            np.asarray(g_ref, np.float32),
+            atol=5e-2,
+            rtol=5e-2,
+        )
+
     def test_bias(self):
         ks = jax.random.split(jax.random.PRNGKey(1), 4)
         q, k, v = (jax.random.normal(kk, (1, 2, 50, 32)) for kk in ks[:3])
