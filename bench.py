@@ -4,7 +4,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
 Baseline (BASELINE.md north star): 3,000 images/sec/chip for ViT-B/16 LoRA
-fine-tuning on TPU v5e.
+fine-tuning on TPU v5e.  See BASELINE.md "Roofline" for why the bf16
+exact-compute ceiling on this part is ~2,080 img/s (71 GFLOP/img at the
+138 TF/s this chip delivers on ViT-shaped GEMM chains) and how the
+measured number sits against it.
+
+Configuration (all measured on v5e, see BASELINE.md):
+* bf16 fast path: attention scores (TPU.BF16_SOFTMAX) and LayerNorm
+  statistics (TPU.BF16_LN) in bf16 — 1573 -> 1851 img/s at B=16.
+* K training steps chained in one dispatch via lax.scan: the axon relay
+  costs ~12 ms of host time per jit call, which at B=16 (8.6 ms/step
+  device time) would otherwise dominate.
+* donate_argnums on the train state: in-place param/opt-state updates.
+* small per-chip batch (sweep peaks at B=16): XLA keeps the 197x197
+  attention score tiles VMEM-resident below B~32; at B>=64 they spill
+  and the attention chain scales superlinearly with batch.
 """
 
 from __future__ import annotations
@@ -18,12 +32,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the three train-step compiles dominate the
+# bench's wall time over the axon relay (minutes each); repeat runs hit the
+# cache and finish in the timing windows alone.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PVT_COMPILE_CACHE", "/tmp/pvt_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_IMG_S = 3000.0
 
 
-def measure(train_step, state, frozen, batch: int, steps: int, warmup: int):
-    import numpy as np
+def make_step(model, grad_fn, k_chain: int):
+    from peft_vit_tpu.engine import sgd_update
 
+    def step_fn(state, frozen, x, y):
+        def body(s, _):
+            loss, grads = grad_fn(s.trainable, frozen, x, y)
+            return sgd_update(grads, s, 1e-3, 1e-4), loss
+
+        state, losses = jax.lax.scan(body, state, None, length=k_chain)
+        return state, losses[-1]
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def measure(train_step, state, frozen, batch: int, k_chain: int,
+            n_disp: int, warmup: int):
     rng = np.random.RandomState(0)
     x = jnp.asarray(
         rng.randn(batch, 224, 224, 3).astype(np.float32), jnp.bfloat16
@@ -33,27 +69,30 @@ def measure(train_step, state, frozen, batch: int, steps: int, warmup: int):
         state, loss = train_step(state, frozen, x, y)
     float(loss)  # host fetch: the only reliable sync under the axon relay
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(n_disp):
         state, loss = train_step(state, frozen, x, y)
     float(loss)
-    return batch * steps / (time.perf_counter() - t0), state
+    return batch * k_chain * n_disp / (time.perf_counter() - t0), state
 
 
-def main(batch: int = 256, steps: int = 20, warmup: int = 3) -> None:
+def main() -> None:
     from __graft_entry__ import _flagship
-    from peft_vit_tpu.engine import ce_per_example, init_cell_state, sgd_update
+    from peft_vit_tpu.engine import ce_per_example, init_cell_state
     from peft_vit_tpu.peft import build_mask, merge_params, split_params
 
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
-        batch, steps = 8, 3
 
-    model = _flagship(dtype=jnp.bfloat16, use_flash=on_tpu, remat=False)
+    model = _flagship(
+        dtype=jnp.bfloat16,
+        use_flash=on_tpu,
+        remat=False,
+        softmax_fp32=False,  # TPU.BF16_SOFTMAX
+        ln_fp32=False,  # TPU.BF16_LN
+    )
     x0 = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), x0)["params"]
     mask = build_mask(params, "lora", num_layers=12)
     trainable, frozen = split_params(params, mask)
-    state = init_cell_state(trainable)
 
     def loss_fn(trainable, frozen, x, y):
         p = merge_params(trainable, frozen)
@@ -62,21 +101,18 @@ def main(batch: int = 256, steps: int = 20, warmup: int = 3) -> None:
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    @jax.jit
-    def train_step(state, frozen, x, y):
-        loss, grads = grad_fn(state.trainable, frozen, x, y)
-        return sgd_update(grads, state, 1e-3, 1e-4), loss
-
     img_s = 0.0
-    # measured on v5e: per-image cost falls as the per-chip batch shrinks
-    # down to ~16 (peak 1370 img/s at B=16 vs 1036 at B=128); production
-    # multi-chip training runs small per-chip batches anyway
-    for b in ([16, 32, 128] if on_tpu else [batch]):
-        # keep the timing window >= ~2k images so small batches aren't
-        # noise-dominated
-        n_steps = max(steps, 2048 // b) if on_tpu else steps
+    # B=16 is the measured optimum (see module docstring); 8 and 32
+    # bracket it in case the compiler or hardware shifts the knee
+    cases = [(8, 64), (16, 32), (32, 16)] if on_tpu else [(8, 2)]
+    for batch, k_chain in cases:
+        step = make_step(model, grad_fn, k_chain)
+        # donated state: each case needs its own copy
+        state = init_cell_state(jax.tree.map(jnp.copy, trainable))
+        # >= ~4k images per timing window
+        n_disp = max(2, 4096 // (batch * k_chain)) if on_tpu else 1
         rate, state = measure(
-            train_step, state, frozen, b, n_steps, warmup
+            step, state, frozen, batch, k_chain, n_disp, warmup=1
         )
         img_s = max(img_s, rate)
     print(

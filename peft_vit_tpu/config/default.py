@@ -44,6 +44,10 @@ _C["TPU"] = CN(
         "SCAN_LAYERS": False,  # compile the ViT block once via nn.scan
         "FLASH_ATTENTION": True,  # Pallas kernel on TPU, jnp fallback elsewhere
         "DONATE": True,
+        # bf16 fast paths (profiled on v5e: attention scores + LayerNorm in
+        # bf16 lift ViT-B/16 LoRA training 1573 -> 1851 img/s/chip at B=16)
+        "BF16_SOFTMAX": False,  # attention scores in bf16 on the XLA path
+        "BF16_LN": False,  # LayerNorm statistics in compute dtype
     },
     new_allowed=True,
 )

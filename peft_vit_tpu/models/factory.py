@@ -154,6 +154,9 @@ def build_image_classifier(
     # TPU.BF16_SOFTMAX: keep attention scores in bf16 on the XLA path
     # (+46% on the attention stack at per-chip batch >= 32; fp32 default)
     softmax_fp32 = not bool(cfg.TPU.get("BF16_SOFTMAX", False))
+    # TPU.BF16_LN: LayerNorm statistics in the compute dtype (bf16); with
+    # BF16_SOFTMAX this is the profiled v5e training fast path
+    ln_fp32 = not bool(cfg.TPU.get("BF16_LN", False))
 
     sd = None
     if cfg.MODEL.PRETRAINED:
@@ -206,6 +209,7 @@ def build_image_classifier(
                 spec=spec,
                 use_flash=use_flash,
                 softmax_fp32=softmax_fp32,
+                ln_fp32=ln_fp32,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,
@@ -332,6 +336,7 @@ def build_image_classifier(
                 spec=spec,
                 use_flash=use_flash,
                 softmax_fp32=softmax_fp32,
+                ln_fp32=ln_fp32,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,

@@ -28,6 +28,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize imports jax at interpreter start, so jax has
+# already read JAX_PLATFORMS=axon from the env by the time this conftest
+# runs — the env write above is too late and the suite would silently run
+# on the TPU (where fp32 matmuls default to bf16 MXU passes and the torch
+# parity tolerances fail).  Force the backend through the live config too.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
