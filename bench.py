@@ -102,10 +102,18 @@ def main() -> None:
     grad_fn = jax.value_and_grad(loss_fn)
 
     img_s = 0.0
-    # B=16 is the measured optimum (see module docstring); 8 and 32
-    # bracket it in case the compiler or hardware shifts the knee
-    cases = [(8, 64), (16, 32), (32, 16)] if on_tpu else [(8, 2)]
-    for batch, k_chain in cases:
+    # B=16 is the measured optimum (see module docstring) and runs FIRST
+    # so a valid headline exists even if the deadline cuts the brackets;
+    # 8 and 32 bracket it in case the compiler or hardware shifts the knee
+    cases = [(16, 32), (8, 64), (32, 16)] if on_tpu else [(8, 2)]
+    # each cold compile costs minutes over the axon relay; stop launching
+    # new cases past the soft deadline so one JSON line always prints
+    deadline = time.perf_counter() + float(
+        os.environ.get("PVT_BENCH_DEADLINE_S", "1500")
+    )
+    for i, (batch, k_chain) in enumerate(cases):
+        if i > 0 and time.perf_counter() > deadline:
+            break
         step = make_step(model, grad_fn, k_chain)
         # donated state: each case needs its own copy
         state = init_cell_state(jax.tree.map(jnp.copy, trainable))

@@ -44,13 +44,17 @@ def train_main(cfg) -> float:
     if streaming:
         from ..data.streaming import StreamingSource
 
+        # always ship raw uint8: the jitted step flips + normalizes (or
+        # runs the timm-aug transform) on device — 4x fewer host->HBM
+        # bytes and zero host float work.  STEPS_PER_DISPATCH=K makes the
+        # loader emit K*B-sample batches that reshape (zero-copy) into
+        # (K, B, ...) scan chunks: one transfer + one dispatch per K steps
+        k_disp = int(cfg.TPU.get("STEPS_PER_DISPATCH", 1))
         train_src = StreamingSource(
-            cfg, "train", normalize=not device_transform
+            cfg, "train", normalize=False, batch_multiplier=k_disp
         )
         eval_src = (
-            StreamingSource(
-                cfg, "test", normalize=not device_transform
-            )
+            StreamingSource(cfg, "test", normalize=False)
             if cfg.DATASET.TEST_TSV_LIST
             else None
         )
@@ -104,7 +108,18 @@ def train_main(cfg) -> float:
     )
 
     if streaming:
-        train_batches = train_src.device_batches
+        if k_disp > 1:
+            # scan mode: the source yields pre-chunked (K, B, ...) host
+            # arrays; the Trainer does ONE transfer + dispatch per chunk.
+            # host_prefetch keeps the native decode ring draining while
+            # the consumer blocks on the device
+            from ..data.streaming import host_prefetch
+
+            train_batches = lambda e: host_prefetch(
+                train_src.batches(e), depth=2
+            )
+        else:
+            train_batches = train_src.device_batches
         if eval_src is not None:
             eval_batches = lambda: eval_src.device_batches(0)
         else:

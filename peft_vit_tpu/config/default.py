@@ -48,6 +48,9 @@ _C["TPU"] = CN(
         # bf16 lift ViT-B/16 LoRA training 1573 -> 1851 img/s/chip at B=16)
         "BF16_SOFTMAX": False,  # attention scores in bf16 on the XLA path
         "BF16_LN": False,  # LayerNorm statistics in compute dtype
+        # chain K train steps per dispatch (lax.scan over a (K, B, ...)
+        # chunk): one host->device transfer + one dispatch per K steps
+        "STEPS_PER_DISPATCH": 1,
     },
     new_allowed=True,
 )

@@ -57,15 +57,49 @@ def prefetch_to_device(
         yield item
 
 
+def host_prefetch(batches: Iterator, depth: int = 8):
+    """Buffer host batches on a background thread (keeps the native
+    decode ring draining while the consumer blocks on device transfer —
+    the companion of TPU.STEPS_PER_DISPATCH chunking, where the trainer
+    owns the single big host->device transfer per chunk)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in batches:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 class StreamingSource:
     """Config -> per-epoch normalized batch iterators over TSV shards."""
 
-    def __init__(self, cfg, split: str = "train", normalize: bool = True):
+    def __init__(
+        self,
+        cfg,
+        split: str = "train",
+        normalize: bool = True,
+        batch_multiplier: int = 1,
+    ):
         import jax
 
         # normalize=False ships raw uint8 (device-side timm-aug path:
         # the jitted step augments + normalizes; 4x less host->HBM bytes)
         self.normalize = normalize
+        # batch_multiplier=K (TPU.STEPS_PER_DISPATCH): the loader emits
+        # K*B-sample batches which reshape (zero-copy) to (K, B, ...)
+        # scan chunks — no host-side stacking
+        self.chunk = max(int(batch_multiplier), 1)
 
         if not native_available():
             raise RuntimeError(
@@ -90,7 +124,7 @@ class StreamingSource:
         self.loader = NativeTsvLoader(
             paths,
             image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
-            batch_size=self.batch,
+            batch_size=self.batch * self.chunk,
             shuffle=self.train and bool(cfg.TRAIN.SHUFFLE),
             seed=int(cfg.DATASET.RANDOM_SEED_SAMPLING),
             num_threads=int(cfg.WORKERS or 4),
@@ -110,8 +144,11 @@ class StreamingSource:
             if self.train
             else n_global
         )
+        # optimizer steps per epoch (each K*B chunk = K steps)
         self.steps_per_epoch = max(
-            self.samples_this_process // self.batch, 1
+            (self.samples_this_process // (self.batch * self.chunk))
+            * self.chunk,
+            1,
         )
         logger.info(
             "=> streaming %s: %d samples (%d this process), batch %d, "
@@ -150,15 +187,24 @@ class StreamingSource:
                 order, self.process_index, self.process_count
             )
             rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
+            big = self.batch * self.chunk
             for x, y, count in self.loader.epoch(epoch, order=order):
-                if count < self.batch:
+                if count < big:
                     break  # drop_last
                 x = self._normalize(x)
                 # raw-u8 mode leaves flips to the device-side transform
                 if self.flip and self.normalize:
                     sel = rng.rand(len(x)) < 0.5
                     x[sel] = x[sel, :, ::-1]
-                yield x, y
+                if self.chunk > 1:
+                    # (K*B, ...) -> (K, B, ...) is a view — no copy
+                    yield (
+                        x.reshape(self.chunk, self.batch, *x.shape[1:]),
+                        y.reshape(self.chunk, self.batch),
+                        True,
+                    )
+                else:
+                    yield x, y
         else:
             for x, y, count in self.loader.epoch(0):
                 yield self._normalize(x[:count]), y[:count]

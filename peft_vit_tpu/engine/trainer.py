@@ -154,12 +154,28 @@ class Trainer:
         has_bn = self.has_bn
 
         transform = self.train_transform
+        norm_mean, norm_std = self._norm_mean, self._norm_std
+        do_flip = bool(cfg.AUG.get("RANDOM_FLIP", True))
 
         def loss_fn(trainable, frozen, batch_stats, x, y, rng):
             params = merge_params(trainable, frozen)
             if transform is not None:
                 rng, t_rng = jax.random.split(rng)
                 x = transform(t_rng, x)
+            elif x.dtype == jnp.uint8:
+                # raw-uint8 input path: flip + normalize on device (4x
+                # fewer host->HBM bytes than shipping float32, and the
+                # host never touches pixel floats — critical on thin
+                # host CPUs)
+                if do_flip:
+                    rng, f_rng = jax.random.split(rng)
+                    sel = jax.random.bernoulli(
+                        f_rng, 0.5, (x.shape[0],)
+                    )
+                    x = jnp.where(
+                        sel[:, None, None, None], x[:, :, ::-1, :], x
+                    )
+                x = (x.astype(jnp.float32) - norm_mean) / norm_std
             if use_mixup:
                 x, y = mixup_cutmix(
                     rng,
@@ -210,24 +226,51 @@ class Trainer:
             )
             return new_state, loss, logits
 
+        # TPU.STEPS_PER_DISPATCH > 1: scan K steps inside one jitted call
+        # over a (K, B, ...) chunk.  One host->device transfer + one
+        # dispatch per K steps — amortizes per-dispatch host cost exactly
+        # like bench.py's k_chain, and is the production shape for
+        # environments where dispatch/transfer latency is material.
+        def train_step_scan(state, frozen, xs, ys, rng, epoch):
+            def body(carry, inp):
+                s, r = carry
+                r, sub = jax.random.split(r)
+                x, y = inp
+                s, loss, _ = train_step(s, frozen, x, y, sub, epoch)
+                return (s, r), loss
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, rng), (xs, ys)
+            )
+            return state, losses[-1]
+
         if self.mesh is not None:
             # data-parallel over the mesh: batch sharded, state replicated;
             # GSPMD inserts the gradient all-reduce (the DDP analog)
-            from ..parallel.mesh import batch_sharding, replicated
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated
 
             bsh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
+            # chunk layout (K, B, ...): batch axis is axis 1
+            csh = NamedSharding(self.mesh, PartitionSpec(None, DATA_AXIS))
+            self._train_step_scan = jax.jit(
+                train_step_scan,
+                donate_argnums=(0,),
+                in_shardings=(None, None, csh, csh, rep, rep),
+            )
             return jax.jit(
                 train_step,
                 donate_argnums=(0,),
                 in_shardings=(None, None, bsh, bsh, rep, rep),
             )
+        self._train_step_scan = jax.jit(train_step_scan, donate_argnums=(0,))
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _eval_fn(self, trainable, frozen, batch_stats, x):
         params = merge_params(trainable, frozen)
-        if self.train_transform is not None:
-            # train batches are raw: eval normalizes on device
+        if self.train_transform is not None or x.dtype == jnp.uint8:
+            # raw (un-normalized) batches: eval normalizes on device
             x = (x.astype(jnp.float32) - self._norm_mean) / self._norm_std
         variables = {"params": params}
         if self.has_bn:
@@ -242,17 +285,35 @@ class Trainer:
         cfg = self.cfg
         losses, seen = [], 0
         t_start = time.time()
-        for i, (x, y) in enumerate(batches):
+        k_disp = int(cfg.TPU.get("STEPS_PER_DISPATCH", 1))
+        if k_disp > 1:
+            batches = _chunk_batches(batches, k_disp)
+        for i, item in enumerate(batches):
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, loss, _ = self._train_step(
-                self.state,
-                self.frozen,
-                jnp.asarray(x),
-                jnp.asarray(y),
-                step_rng,
-                jnp.asarray(epoch),
-            )
-            seen += x.shape[0]
+            if k_disp > 1 and len(item) == 3:
+                xs, ys, _ = item  # (K, B, ...) stacked chunk
+                self.state, loss = self._train_step_scan(
+                    self.state,
+                    self.frozen,
+                    jnp.asarray(xs),
+                    jnp.asarray(ys),
+                    step_rng,
+                    jnp.asarray(epoch),
+                )
+                x = xs[-1]
+                seen += xs.shape[0] * xs.shape[1]
+                y = None
+            else:
+                x, y = item
+                self.state, loss, _ = self._train_step(
+                    self.state,
+                    self.frozen,
+                    jnp.asarray(x),
+                    jnp.asarray(y),
+                    step_rng,
+                    jnp.asarray(epoch),
+                )
+                seen += x.shape[0]
             if (i + 1) % int(cfg.PRINT_FREQ) == 0 or i == 0:
                 loss_v = float(loss)  # host fetch = sync point
                 losses.append(loss_v)
@@ -482,6 +543,38 @@ class Trainer:
             logger.info("=> SWA acc %.3f", swa_acc)
             best = max(best, swa_acc)
         return best
+
+
+def _chunk_batches(batches, k: int):
+    """Group consecutive equal-shape (x, y) batches into (K, B, ...)
+    stacks for the scan train step.  Tails (fewer than k, or ragged final
+    batches) pass through unstacked so only two programs ever compile:
+    the K-scan chunk and the single step."""
+    buf = []
+    for item in batches:
+        if len(item) == 3:  # already a tagged (K, B, ...) chunk
+            for b in buf:
+                yield b
+            buf = []
+            yield item
+            continue
+        x, y = item
+        if buf and x.shape != buf[-1][0].shape:
+            for b in buf:
+                yield b
+            buf = []
+            yield (x, y)
+            continue
+        buf.append((x, y))
+        if len(buf) == k:
+            yield (
+                np.stack([b[0] for b in buf]),
+                np.stack([b[1] for b in buf]),
+                True,
+            )
+            buf = []
+    for b in buf:
+        yield b
 
 
 def batch_iterator(

@@ -188,3 +188,46 @@ class TestStreamingTrainer:
         best = train_main(cfg)
         assert np.isfinite(best)
         assert best > 30.0  # learnable band: beats 25% chance
+
+
+@needs_native
+class TestChunkedStreaming:
+    """batch_multiplier=K: loader emits K*B batches that reshape into
+    tagged (K, B, ...) scan chunks (TPU.STEPS_PER_DISPATCH)."""
+
+    def test_chunked_batches_shape_and_steps(self, tsv_shard):
+        import jax
+
+        from peft_vit_tpu.data.streaming import StreamingSource
+
+        cfg = _cfg(tsv_shard, batch=1)
+        src = StreamingSource(
+            cfg, "train", normalize=False, batch_multiplier=2
+        )
+        b = jax.local_device_count()
+        n_chunks = 0
+        for item in src.batches(0):
+            assert len(item) == 3 and item[2] is True
+            xs, ys, _ = item
+            assert xs.shape == (2, b, 16, 16, 3)
+            assert xs.dtype == np.uint8
+            assert ys.shape == (2, b)
+            n_chunks += 1
+        assert n_chunks == 48 // (2 * b)
+        # steps_per_epoch counts optimizer steps, not dispatches
+        assert src.steps_per_epoch == n_chunks * 2
+        src.close()
+
+    def test_chunked_e2e_through_trainer(self, tsv_shard):
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.commands.train import train_main
+
+        cfg = _cfg(tsv_shard, batch=4)
+        cfg.OUTPUT_DIR = "/tmp/pvt_test_chunked_stream"
+        cfg.TRAIN.END_EPOCH = 1
+        cfg.TRAIN.EVAL_BEGIN_EPOCH = 0
+        cfg.TPU.STEPS_PER_DISPATCH = 2
+        cfg.NAME = "chunked"
+        cfg.freeze()
+        acc = train_main(cfg)
+        assert np.isfinite(acc) and 0.0 <= acc <= 100.0
