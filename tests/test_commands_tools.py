@@ -1,0 +1,100 @@
+"""CLI tools: pvt_model_summary and pvt_test (reference
+tools/model_summary.py, tools/test.py, tools/test_clip_retrieval.py,
+commands/image_caption_eval.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+class TestModelSummary:
+    def test_summary_lora_tiny(self, capsys):
+        from peft_vit_tpu.commands.model_summary import main
+
+        out = main(
+            [
+                "--method",
+                "lora",
+                "MODEL.SPEC.VISION.LAYERS",
+                "1",
+                "MODEL.SPEC.VISION.WIDTH",
+                "64",
+                "MODEL.SPEC.VISION.HEADS",
+                "2",
+                "MODEL.SPEC.VISION.PATCH_SIZE",
+                "16",
+                "MODEL.SPEC.EMBED_DIM",
+                "32",
+                "MODEL.SPEC.TEXT.WIDTH",
+                "32",
+                "MODEL.SPEC.TEXT.LAYERS",
+                "1",
+                "MODEL.SPEC.TEXT.HEADS",
+                "2",
+                "TRAIN.IMAGE_SIZE",
+                "[32, 32]",
+                "DATASET.NUM_CLASSES",
+                "3",
+            ]
+        )
+        assert "total params:" in out
+        assert "trainable:" in out
+        assert "forward FLOPs" in out and "grad FLOPs" in out
+        # LoRA: tiny trainable fraction, frozen rows present
+        assert "frozen" in out and "train" in out
+
+
+class TestTestModelCommand:
+    def test_retrieval_mode(self, tmp_path, capsys):
+        from peft_vit_tpu.commands.test_model import main
+
+        rng = np.random.RandomState(0)
+        feats = rng.randn(8, 16).astype(np.float32)
+        # identical features -> perfect retrieval
+        p = tmp_path / "f.npz"
+        np.savez(p, image_feats=feats, text_feats=feats)
+        out = main(["--mode", "retrieval", "--features", str(p)])
+        assert out["i2t_R@1"] == 100.0
+        assert out["t2i_median_rank"] == 1.0
+        printed = json.loads(capsys.readouterr().out.strip())
+        assert printed["i2t_R@5"] == 100.0
+
+    def test_real_mode(self, tmp_path):
+        from peft_vit_tpu.commands.test_model import main
+
+        scores = np.eye(4, dtype=np.float32)  # pred = [0, 1, 2, 3]
+        sp = tmp_path / "s.npz"
+        np.savez(sp, scores=scores)
+        rp = tmp_path / "r.json"
+        rp.write_text(json.dumps([[0], [9], [], [3, 1]]))
+        out = main(
+            ["--mode", "real", "--scores", str(sp), "--real-labels", str(rp)]
+        )
+        # 3 scored images (one skipped), 2 correct
+        assert out["real_top1"] == pytest.approx(100.0 * 2 / 3)
+
+    def test_valid_mode(self, tmp_path):
+        from peft_vit_tpu.commands.test_model import main
+
+        scores = np.array(
+            [[9.0, 0.0, 1.0, 5.0], [0.0, 1.0, 9.0, 5.0]], np.float32
+        )
+        sp = tmp_path / "s.npz"
+        np.savez(sp, scores=scores, target=np.array([3, 2]))
+        out = main(
+            ["--mode", "valid", "--scores", str(sp), "--valid-labels", "2,3"]
+        )
+        # restricted to classes {2, 3}: preds become [3, 2] -> 100%
+        assert out["valid_top1"] == 100.0
+
+    def test_caption_mode(self, tmp_path):
+        from peft_vit_tpu.commands.test_model import main
+
+        rp = tmp_path / "refs.json"
+        rp.write_text(json.dumps([["a photo"], ["a photo of a cat"]]))
+        out = main(["--mode", "caption", "--references", str(rp)])
+        assert set(
+            ["Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"]
+        ) <= set(out)
+        assert out["Bleu_1"] > 0
