@@ -40,7 +40,20 @@ def train_main(cfg) -> float:
 
     device_transform = make_train_transform(cfg) is not None
 
-    streaming = bool(cfg.DATASET.TRAIN_TSV_LIST) and native_available()
+    train_folder = os.path.join(
+        cfg.DATASET.ROOT, cfg.DATASET.TRAIN_SET
+    )
+    test_folder = os.path.join(
+        cfg.DATASET.ROOT, cfg.DATASET.TEST_SET or cfg.DATASET.VAL_SET
+    )
+    folder_mode = (
+        not cfg.DATASET.TRAIN_TSV_LIST
+        and bool(cfg.DATASET.ROOT)
+        and os.path.isdir(train_folder)
+    )
+    streaming = (
+        bool(cfg.DATASET.TRAIN_TSV_LIST) or folder_mode
+    ) and native_available()
     if streaming:
         from ..data.streaming import StreamingSource
 
@@ -56,11 +69,18 @@ def train_main(cfg) -> float:
         eval_src = (
             StreamingSource(cfg, "test", normalize=False)
             if cfg.DATASET.TEST_TSV_LIST
+            or (folder_mode and os.path.isdir(test_folder))
             else None
         )
         num_classes = int(cfg.DATASET.NUM_CLASSES)
+        if num_classes <= 0 and folder_mode:
+            num_classes = sum(
+                os.path.isdir(os.path.join(train_folder, d))
+                for d in os.listdir(train_folder)
+            )
         assert num_classes > 0, (
-            "streaming TSV training needs DATASET.NUM_CLASSES"
+            "streaming training needs DATASET.NUM_CLASSES (or an "
+            "ImageFolder tree to count classes from)"
         )
         splits = None
     else:

@@ -101,6 +101,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.pvtio_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.pvtio_loader_create_files.restype = ctypes.c_void_p
+    lib.pvtio_loader_create_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -174,6 +186,51 @@ class NativeTsvLoader:
         )
         if not self._handle:
             raise RuntimeError("pvtio_loader_create failed")
+
+    @classmethod
+    def from_files(
+        cls,
+        file_paths: Sequence[str],
+        labels: Sequence[int],
+        image_size: int = 224,
+        batch_size: int = 64,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        ring_slots: int = 4,
+    ) -> "NativeTsvLoader":
+        """ImageFolder mode: one image file per sample, decoded in the
+        native worker threads (the torchvision-ImageFolder layout,
+        streamed instead of materialized)."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native runtime unavailable; use data.registry."
+                "load_imagefolder"
+            )
+        self = cls.__new__(cls)
+        self._lib = lib
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.num_threads = num_threads
+        arr = (ctypes.c_char_p * len(file_paths))(
+            *[p.encode() for p in file_paths]
+        )
+        lab = np.ascontiguousarray(labels, np.int64)
+        self._handle = lib.pvtio_loader_create_files(
+            arr,
+            lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(file_paths),
+            image_size,
+            batch_size,
+            1 if shuffle else 0,
+            seed,
+            num_threads,
+            ring_slots,
+        )
+        if not self._handle:
+            raise RuntimeError("pvtio_loader_create_files failed")
+        return self
 
     def __len__(self) -> int:
         return int(self._lib.pvtio_loader_num_samples(self._handle))

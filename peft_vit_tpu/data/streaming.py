@@ -81,8 +81,26 @@ def host_prefetch(batches: Iterator, depth: int = 8):
         yield item
 
 
+def scan_imagefolder(folder: str):
+    """Class-per-subdirectory tree -> (file_paths, labels); classes sorted
+    by name (same index assignment as registry.load_imagefolder)."""
+    classes = sorted(
+        d
+        for d in os.listdir(folder)
+        if os.path.isdir(os.path.join(folder, d))
+    )
+    paths, labels = [], []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(folder, c)
+        for f in sorted(os.listdir(cdir)):
+            paths.append(os.path.join(cdir, f))
+            labels.append(ci)
+    return paths, np.asarray(labels, np.int64)
+
+
 class StreamingSource:
-    """Config -> per-epoch normalized batch iterators over TSV shards."""
+    """Config -> per-epoch batch iterators over TSV shards or an
+    ImageFolder tree (native decode threads either way)."""
 
     def __init__(
         self,
@@ -110,10 +128,7 @@ class StreamingSource:
             if split == "train"
             else cfg.DATASET.TEST_TSV_LIST
         )
-        if not tsv_list:
-            raise ValueError(f"no TSV list configured for split {split!r}")
         root = cfg.DATASET.ROOT
-        paths = [os.path.join(root, p) if root else p for p in tsv_list]
         self.split = split
         self.train = split == "train"
         self.batch = int(
@@ -121,14 +136,44 @@ class StreamingSource:
             if self.train
             else cfg.TEST.BATCH_SIZE_PER_GPU
         ) * jax.local_device_count()
-        self.loader = NativeTsvLoader(
-            paths,
-            image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
-            batch_size=self.batch * self.chunk,
-            shuffle=self.train and bool(cfg.TRAIN.SHUFFLE),
-            seed=int(cfg.DATASET.RANDOM_SEED_SAMPLING),
-            num_threads=int(cfg.WORKERS or 4),
+        folder = os.path.join(
+            root,
+            cfg.DATASET.TRAIN_SET
+            if self.train
+            else (cfg.DATASET.TEST_SET or cfg.DATASET.VAL_SET),
         )
+        if tsv_list:
+            paths = [
+                os.path.join(root, p) if root else p for p in tsv_list
+            ]
+            self.loader = NativeTsvLoader(
+                paths,
+                image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
+                batch_size=self.batch * self.chunk,
+                shuffle=self.train and bool(cfg.TRAIN.SHUFFLE),
+                seed=int(cfg.DATASET.RANDOM_SEED_SAMPLING),
+                num_threads=int(cfg.WORKERS or 4),
+            )
+        elif os.path.isdir(folder):
+            # ImageFolder tree: metadata walk on the host, decode in the
+            # native worker threads (the dataset is never materialized)
+            files, labels = scan_imagefolder(folder)
+            # _labels_fn reads labels back from the loader (it may have
+            # skipped unreadable files, so the C side is authoritative)
+            self.loader = NativeTsvLoader.from_files(
+                files,
+                labels,
+                image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
+                batch_size=self.batch * self.chunk,
+                shuffle=self.train and bool(cfg.TRAIN.SHUFFLE),
+                seed=int(cfg.DATASET.RANDOM_SEED_SAMPLING),
+                num_threads=int(cfg.WORKERS or 4),
+            )
+        else:
+            raise ValueError(
+                f"no TSV list or ImageFolder dir ({folder!r}) for split "
+                f"{split!r}"
+            )
         self.sampler = str(cfg.TRAIN.SAMPLER)
         self.seed = int(cfg.DATASET.RANDOM_SEED_SAMPLING)
         self.flip = self.train and bool(cfg.AUG.get("RANDOM_FLIP", True))

@@ -219,9 +219,9 @@ size_t pvtio_b64_decode(const char* src, size_t len, uint8_t* dst) {
 // ---------------------------------------------------------------------------
 
 struct TsvSample {
-  std::string path;   // shard file
-  size_t offset;      // line start
-  size_t length;      // line length
+  std::string path;   // shard file (raw mode: the image file itself)
+  size_t offset;      // line start (raw mode: 0)
+  size_t length;      // line length (raw mode: file size)
   int64_t label;
 };
 
@@ -232,6 +232,8 @@ struct Loader {
   bool shuffle;
   uint64_t seed;
   int epoch = 0;
+  // 0 = base64-TSV lines; 1 = whole-file image bytes (ImageFolder mode)
+  int raw_mode = 0;
 
   // prefetch ring: batch b always lands in slot b % ring.size(), so the
   // consumer yields batches strictly in batch-index order (reproducible
@@ -267,12 +269,18 @@ static bool read_line(const TsvSample& s, std::string* out) {
   return got > 0;
 }
 
-static void decode_sample(const TsvSample& s, int size, uint8_t* out_x,
-                          int64_t* out_y) {
+static void decode_sample(const TsvSample& s, int raw_mode, int size,
+                          uint8_t* out_x, int64_t* out_y) {
   std::string line;
   *out_y = s.label;
   memset(out_x, 0, (size_t)size * size * 3);
   if (!read_line(s, &line)) return;
+  if (raw_mode) {
+    // the whole file is the compressed image
+    pvtio_decode_resize((const uint8_t*)line.data(), line.size(), size,
+                        out_x);
+    return;
+  }
   // columns: key \t base64 \t label
   size_t t1 = line.find('\t');
   if (t1 == std::string::npos) return;
@@ -306,7 +314,8 @@ static void worker_fn(Loader* L) {
       size_t idx = b * L->batch + i;
       if (idx >= L->order.size()) break;
       const TsvSample& s = L->samples[L->order[idx]];
-      decode_sample(s, L->image_size, slot.x.data() + (size_t)i * img_bytes,
+      decode_sample(s, L->raw_mode, L->image_size,
+                    slot.x.data() + (size_t)i * img_bytes,
                     slot.y.data() + i);
       slot.count++;
     }
@@ -361,6 +370,41 @@ void* pvtio_loader_create(const char** shard_paths, int num_shards,
       L->samples.push_back({path, offset, cur.size(), label});
     }
     fclose(f);
+  }
+  const size_t img_bytes = (size_t)image_size * image_size * 3;
+  if (ring_slots < 2) ring_slots = 2;
+  L->ring.resize(ring_slots);
+  for (auto& slot : L->ring) {
+    slot.x.resize(img_bytes * batch);
+    slot.y.resize(batch);
+  }
+  (void)num_threads;
+  return L;
+}
+
+// ImageFolder mode: one sample per image file (the torchvision
+// ImageFolder / reference DataLoader layout streamed natively).  The host
+// enumerates the class-per-subdirectory tree (cheap metadata walk) and
+// hands (file, label) pairs; decode runs in the worker threads.
+void* pvtio_loader_create_files(const char** file_paths,
+                                const int64_t* labels, int64_t n,
+                                int image_size, int batch, int shuffle,
+                                uint64_t seed, int num_threads,
+                                int ring_slots) {
+  Loader* L = new Loader();
+  L->image_size = image_size;
+  L->batch = batch;
+  L->shuffle = shuffle != 0;
+  L->seed = seed;
+  L->raw_mode = 1;
+  for (int64_t i = 0; i < n; i++) {
+    FILE* f = fopen(file_paths[i], "rb");
+    if (!f) continue;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fclose(f);
+    if (sz <= 0) continue;
+    L->samples.push_back({file_paths[i], 0, (size_t)sz, labels[i]});
   }
   const size_t img_bytes = (size_t)image_size * image_size * 3;
   if (ring_slots < 2) ring_slots = 2;
