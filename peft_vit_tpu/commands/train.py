@@ -51,8 +51,17 @@ def train_main(cfg) -> float:
         and bool(cfg.DATASET.ROOT)
         and os.path.isdir(train_folder)
     )
+    zip_mode = False
+    if (
+        not cfg.DATASET.TRAIN_TSV_LIST
+        and not folder_mode
+        and native_available()
+    ):
+        from ..data.elevater import scan_zip_split
+
+        zip_mode = scan_zip_split(cfg, "train") is not None
     streaming = (
-        bool(cfg.DATASET.TRAIN_TSV_LIST) or folder_mode
+        bool(cfg.DATASET.TRAIN_TSV_LIST) or folder_mode or zip_mode
     ) and native_available()
     if streaming:
         from ..data.streaming import StreamingSource
@@ -66,10 +75,16 @@ def train_main(cfg) -> float:
         train_src = StreamingSource(
             cfg, "train", normalize=False, batch_multiplier=k_disp
         )
+        has_eval = bool(cfg.DATASET.TEST_TSV_LIST) or (
+            folder_mode and os.path.isdir(test_folder)
+        )
+        if zip_mode and not has_eval:
+            from ..data.elevater import scan_zip_split
+
+            has_eval = scan_zip_split(cfg, "test") is not None
         eval_src = (
             StreamingSource(cfg, "test", normalize=False)
-            if cfg.DATASET.TEST_TSV_LIST
-            or (folder_mode and os.path.isdir(test_folder))
+            if has_eval
             else None
         )
         num_classes = int(cfg.DATASET.NUM_CLASSES)
@@ -78,6 +93,8 @@ def train_main(cfg) -> float:
                 os.path.isdir(os.path.join(train_folder, d))
                 for d in os.listdir(train_folder)
             )
+        if num_classes <= 0 and zip_mode:
+            num_classes = int(np.max(train_src._labels_fn())) + 1
         assert num_classes > 0, (
             "streaming training needs DATASET.NUM_CLASSES (or an "
             "ImageFolder tree to count classes from)"

@@ -192,3 +192,54 @@ def load_elevater_split(
             )
         )
     return x, y
+
+
+def scan_zip_split(cfg, split: str):
+    """Streaming hook: resolve a manifest split to
+    ``(zip_path, members, labels)`` when every image lives in one zip
+    archive and the task is multiclass — the common ELEVATER dump layout
+    (``images.zip@member``).  Returns None otherwise (the in-RAM
+    ``load_elevater_split`` path handles mixed/loose/multilabel cases).
+    """
+    root = cfg.DATASET.ROOT
+    reg_path = find_registry(root, str(cfg.DATASET.get("REGISTRY_JSON", "")))
+    if reg_path is None:
+        return None
+    entry = find_dataset(
+        load_manifest_registry(reg_path), cfg.DATASET.DATASET
+    )
+    if entry is None:
+        return None
+    if str(entry.get("type", "")).endswith("multilabel"):
+        return None
+    usage = entry.get(_USAGE_KEYS.get(split, split))
+    if usage is None:
+        return None
+    base_dir = os.path.join(root or "", entry.get("root_folder", ""))
+    index_path = os.path.join(base_dir, usage["index_path"])
+    with open(index_path) as f:
+        index = json.load(f)
+    categories = sorted(index["categories"], key=lambda c: c["id"])
+    cid_to_idx = {c["id"]: i for i, c in enumerate(categories)}
+    per_image = {}
+    for ann in index.get("annotations", []):
+        per_image.setdefault(int(ann["image_id"]), []).append(
+            cid_to_idx[ann["category_id"]]
+        )
+    zip_rel = None
+    members, labels = [], []
+    for im in index["images"]:
+        fn = str(im["file_name"])
+        if "@" not in fn:
+            return None  # loose files: no single archive to stream
+        z, member = fn.split("@", 1)
+        if zip_rel is None:
+            zip_rel = z
+        elif z != zip_rel:
+            return None  # multiple archives: fall back
+        ids = per_image.get(int(im["id"]), [])
+        members.append(member)
+        labels.append(ids[0] if ids else -1)
+    if zip_rel is None:
+        return None
+    return os.path.join(base_dir, zip_rel), members, labels

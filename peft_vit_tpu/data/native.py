@@ -113,6 +113,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.pvtio_loader_create_zip.restype = ctypes.c_void_p
+    lib.pvtio_loader_create_zip.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -230,6 +245,72 @@ class NativeTsvLoader:
         )
         if not self._handle:
             raise RuntimeError("pvtio_loader_create_files failed")
+        return self
+
+    @classmethod
+    def from_zip(
+        cls,
+        zip_path: str,
+        members: Sequence[str],
+        labels: Sequence[int],
+        image_size: int = 224,
+        batch_size: int = 64,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        ring_slots: int = 4,
+    ) -> "NativeTsvLoader":
+        """Zip-archive mode (ELEVATER dumps): the zip directory is read
+        once here; the C workers pread + inflate + decode each entry —
+        the archive is never extracted.  Only STORED and DEFLATE entries
+        are supported (everything zipfile itself writes)."""
+        import struct
+        import zipfile
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        offs, sizes, methods = [], [], []
+        with zipfile.ZipFile(zip_path) as zf, open(zip_path, "rb") as f:
+            for name in members:
+                zi = zf.getinfo(name)
+                if zi.compress_type not in (0, 8):
+                    raise ValueError(
+                        f"unsupported zip method {zi.compress_type} for "
+                        f"{name!r}"
+                    )
+                # the local header's name/extra lengths can differ from
+                # the central directory's — read them from the file
+                f.seek(zi.header_offset + 26)
+                nlen, elen = struct.unpack("<HH", f.read(4))
+                offs.append(zi.header_offset + 30 + nlen + elen)
+                sizes.append(zi.compress_size)
+                methods.append(zi.compress_type)
+        self = cls.__new__(cls)
+        self._lib = lib
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.num_threads = num_threads
+        o = np.ascontiguousarray(offs, np.uint64)
+        s = np.ascontiguousarray(sizes, np.uint64)
+        m = np.ascontiguousarray(methods, np.uint16)
+        lab = np.ascontiguousarray(labels, np.int64)
+        self._handle = lib.pvtio_loader_create_zip(
+            zip_path.encode(),
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(members),
+            image_size,
+            batch_size,
+            1 if shuffle else 0,
+            seed,
+            num_threads,
+            ring_slots,
+        )
+        if not self._handle:
+            raise RuntimeError("pvtio_loader_create_zip failed")
         return self
 
     def __len__(self) -> int:

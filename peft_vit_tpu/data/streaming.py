@@ -170,9 +170,25 @@ class StreamingSource:
                 num_threads=int(cfg.WORKERS or 4),
             )
         else:
-            raise ValueError(
-                f"no TSV list or ImageFolder dir ({folder!r}) for split "
-                f"{split!r}"
+            # ELEVATER / vision-datasets manifest with zip-packed images
+            from .elevater import scan_zip_split
+
+            hit = scan_zip_split(cfg, "train" if self.train else "test")
+            if hit is None:
+                raise ValueError(
+                    f"no TSV list, ImageFolder dir ({folder!r}), or "
+                    f"streamable zip manifest for split {split!r}"
+                )
+            zip_path, members, labels = hit
+            self.loader = NativeTsvLoader.from_zip(
+                zip_path,
+                members,
+                labels,
+                image_size=int(cfg.TRAIN.IMAGE_SIZE[0]),
+                batch_size=self.batch * self.chunk,
+                shuffle=self.train and bool(cfg.TRAIN.SHUFFLE),
+                seed=int(cfg.DATASET.RANDOM_SEED_SAMPLING),
+                num_threads=int(cfg.WORKERS or 4),
             )
         self.sampler = str(cfg.TRAIN.SAMPLER)
         self.seed = int(cfg.DATASET.RANDOM_SEED_SAMPLING)

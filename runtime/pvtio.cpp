@@ -26,6 +26,7 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <zlib.h>
 
 extern "C" {
 
@@ -220,9 +221,11 @@ size_t pvtio_b64_decode(const char* src, size_t len, uint8_t* dst) {
 
 struct TsvSample {
   std::string path;   // shard file (raw mode: the image file itself)
-  size_t offset;      // line start (raw mode: 0)
-  size_t length;      // line length (raw mode: file size)
+  size_t offset;      // line start (raw mode: data offset)
+  size_t length;      // line length (raw mode: byte count)
   int64_t label;
+  // zip mode: 0 = stored (bytes are the image), 8 = deflate
+  uint16_t method = 0;
 };
 
 struct Loader {
@@ -276,7 +279,29 @@ static void decode_sample(const TsvSample& s, int raw_mode, int size,
   memset(out_x, 0, (size_t)size * size * 3);
   if (!read_line(s, &line)) return;
   if (raw_mode) {
-    // the whole file is the compressed image
+    if (s.method == 8) {
+      // zip DEFLATE entry: inflate (raw, windowBits=-15) then decode
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) return;
+      std::vector<uint8_t> buf(line.size() * 4 + 4096);
+      zs.next_in = (Bytef*)line.data();
+      zs.avail_in = (uInt)line.size();
+      int rc;
+      size_t n = 0;
+      do {
+        if (n == buf.size()) buf.resize(buf.size() * 2);
+        zs.next_out = buf.data() + n;
+        zs.avail_out = (uInt)(buf.size() - n);
+        rc = inflate(&zs, Z_NO_FLUSH);
+        n = buf.size() - zs.avail_out;
+      } while (rc == Z_OK && zs.avail_in > 0);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END && rc != Z_OK) return;
+      pvtio_decode_resize(buf.data(), n, size, out_x);
+      return;
+    }
+    // the whole byte range is the compressed image
     pvtio_decode_resize((const uint8_t*)line.data(), line.size(), size,
                         out_x);
     return;
@@ -405,6 +430,39 @@ void* pvtio_loader_create_files(const char** file_paths,
     fclose(f);
     if (sz <= 0) continue;
     L->samples.push_back({file_paths[i], 0, (size_t)sz, labels[i]});
+  }
+  const size_t img_bytes = (size_t)image_size * image_size * 3;
+  if (ring_slots < 2) ring_slots = 2;
+  L->ring.resize(ring_slots);
+  for (auto& slot : L->ring) {
+    slot.x.resize(img_bytes * batch);
+    slot.y.resize(batch);
+  }
+  (void)num_threads;
+  return L;
+}
+
+// Zip-archive mode (ELEVATER / vision-datasets dumps pack images in
+// zips): the host reads the zip directory once (python zipfile) and
+// hands per-entry (data offset, compressed size, method, label); workers
+// pread + inflate (deflate entries) + decode — the archive is never
+// extracted.
+void* pvtio_loader_create_zip(const char* zip_path, const uint64_t* offsets,
+                              const uint64_t* sizes,
+                              const uint16_t* methods,
+                              const int64_t* labels, int64_t n,
+                              int image_size, int batch, int shuffle,
+                              uint64_t seed, int num_threads,
+                              int ring_slots) {
+  Loader* L = new Loader();
+  L->image_size = image_size;
+  L->batch = batch;
+  L->shuffle = shuffle != 0;
+  L->seed = seed;
+  L->raw_mode = 1;
+  for (int64_t i = 0; i < n; i++) {
+    L->samples.push_back({zip_path, (size_t)offsets[i], (size_t)sizes[i],
+                          labels[i], methods[i]});
   }
   const size_t img_bytes = (size_t)image_size * image_size * 3;
   if (ring_slots < 2) ring_slots = 2;
