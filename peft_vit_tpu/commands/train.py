@@ -40,11 +40,14 @@ def train_main(cfg) -> float:
 
     device_transform = make_train_transform(cfg) is not None
 
-    train_folder = os.path.join(
-        cfg.DATASET.ROOT, cfg.DATASET.TRAIN_SET
+    train_folder = (
+        os.path.join(cfg.DATASET.ROOT, cfg.DATASET.TRAIN_SET)
+        if cfg.DATASET.TRAIN_SET
+        else ""
     )
-    test_folder = os.path.join(
-        cfg.DATASET.ROOT, cfg.DATASET.TEST_SET or cfg.DATASET.VAL_SET
+    _test_dir = cfg.DATASET.TEST_SET or cfg.DATASET.VAL_SET
+    test_folder = (
+        os.path.join(cfg.DATASET.ROOT, _test_dir) if _test_dir else ""
     )
     folder_mode = (
         not cfg.DATASET.TRAIN_TSV_LIST

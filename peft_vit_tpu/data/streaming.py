@@ -81,9 +81,16 @@ def host_prefetch(batches: Iterator, depth: int = 8):
         yield item
 
 
+_IMAGE_EXTS = (
+    ".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp", ".jfif",
+)
+
+
 def scan_imagefolder(folder: str):
     """Class-per-subdirectory tree -> (file_paths, labels); classes sorted
-    by name (same index assignment as registry.load_imagefolder)."""
+    by name (same index assignment as registry.load_imagefolder).  Only
+    image extensions are picked up (torchvision ImageFolder convention) —
+    stray metadata files would otherwise decode to black images."""
     classes = sorted(
         d
         for d in os.listdir(folder)
@@ -93,6 +100,8 @@ def scan_imagefolder(folder: str):
     for ci, c in enumerate(classes):
         cdir = os.path.join(folder, c)
         for f in sorted(os.listdir(cdir)):
+            if not f.lower().endswith(_IMAGE_EXTS):
+                continue
             paths.append(os.path.join(cdir, f))
             labels.append(ci)
     return paths, np.asarray(labels, np.int64)
@@ -136,12 +145,14 @@ class StreamingSource:
             if self.train
             else cfg.TEST.BATCH_SIZE_PER_GPU
         ) * jax.local_device_count()
-        folder = os.path.join(
-            root,
+        split_dir = (
             cfg.DATASET.TRAIN_SET
             if self.train
-            else (cfg.DATASET.TEST_SET or cfg.DATASET.VAL_SET),
+            else (cfg.DATASET.TEST_SET or cfg.DATASET.VAL_SET)
         )
+        # empty split dir would resolve to ROOT itself, whose
+        # subdirectories are splits, not classes — never scan that
+        folder = os.path.join(root, split_dir) if split_dir else ""
         if tsv_list:
             paths = [
                 os.path.join(root, p) if root else p for p in tsv_list
