@@ -295,7 +295,9 @@ static void decode_sample(const TsvSample& s, int raw_mode, int size,
         zs.avail_out = (uInt)(buf.size() - n);
         rc = inflate(&zs, Z_NO_FLUSH);
         n = buf.size() - zs.avail_out;
-      } while (rc == Z_OK && zs.avail_in > 0);
+        // keep going while input remains OR the output buffer filled
+        // exactly (pending output can exist with avail_in == 0)
+      } while (rc == Z_OK && (zs.avail_in > 0 || zs.avail_out == 0));
       inflateEnd(&zs);
       if (rc != Z_STREAM_END && rc != Z_OK) return;
       pvtio_decode_resize(buf.data(), n, size, out_x);
