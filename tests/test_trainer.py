@@ -366,3 +366,43 @@ class TestRawUint8Path:
         np.testing.assert_allclose(
             np.asarray(lu), np.asarray(lf), atol=1e-5
         )
+
+
+class TestScanModeWithMesh:
+    """TPU.STEPS_PER_DISPATCH under a data-parallel mesh: the (K, B, ...)
+    chunk shards its batch axis (axis 1) over the data axis."""
+
+    def test_scan_trains_on_8_device_mesh(self):
+        import jax
+
+        if jax.device_count() < 8:
+            import pytest
+
+            pytest.skip("needs the 8-device virtual mesh")
+        from peft_vit_tpu.parallel import make_mesh
+
+        cfg = make_cfg(
+            **{
+                "TRAIN.END_EPOCH": 6,
+                "TRAIN.LR": 0.05,
+                "TRAIN.BATCH_SIZE_PER_GPU": 1,
+                "TPU.STEPS_PER_DISPATCH": 2,
+            }
+        )
+        model, params, mask = setup(cfg)
+        x, y = synthetic_dataset(4, 16, 16)
+        x = x.astype(np.float32) / 255.0
+        mesh = make_mesh(data=8, model=1)
+        trainer = Trainer(
+            cfg, model, params, mask, steps_per_epoch=8, mesh=mesh
+        )
+        for e in range(6):
+            stats = trainer.train_one_epoch(
+                batch_iterator(x, y, 8, seed=e), epoch=e
+            )
+        assert np.isfinite(stats["loss"])
+        assert int(trainer.state.step) == 6 * 8
+        acc = trainer.evaluate(
+            batch_iterator(x, y, 8, shuffle=False, drop_last=False)
+        )
+        assert acc > 30.0, acc
