@@ -51,6 +51,12 @@ _C["TPU"] = CN(
         # chain K train steps per dispatch (lax.scan over a (K, B, ...)
         # chunk): one host->device transfer + one dispatch per K steps
         "STEPS_PER_DISPATCH": 1,
+        # ZeRO-1: shard full-shot optimizer state over the data mesh axis
+        # (reduce-scatter + all-gather instead of all-reduce)
+        "ZERO1": False,
+        # background device_put of the next chunk while the current one
+        # computes (depth of the transfer pipeline; 0 disables)
+        "PREFETCH_DEPTH": 2,
     },
     new_allowed=True,
 )

@@ -130,13 +130,28 @@ def load_coco_split(
 
     zips = _ZipCache()
     xs, ys = [], []
+    skipped = 0
     try:
         for im in index["images"]:
+            ids = per_image.get(int(im["id"]), [])
+            if not multilabel and not ids:
+                # unannotated image: the reference only indexes annotated
+                # images; emitting label -1 here would silently wrap to
+                # the last class under take_along_axis CE — drop instead
+                skipped += 1
+                continue
             raw = _read_image_bytes(str(im["file_name"]), base_dir, zips)
             xs.append(_decode(raw, image_size))
-            ys.append(per_image.get(int(im["id"]), []))
+            ys.append(ids)
     finally:
         zips.close()
+    if skipped:
+        logger.warning(
+            "=> %s/%s: dropped %d unannotated image(s)",
+            entry.get("name"),
+            split,
+            skipped,
+        )
 
     x = np.stack(xs) if xs else np.zeros(
         (0, image_size, image_size, 3), np.uint8
@@ -146,9 +161,7 @@ def load_coco_split(
         for i, ids in enumerate(ys):
             y[i, ids] = 1
     else:
-        y = np.asarray(
-            [ids[0] if ids else -1 for ids in ys], np.int64
-        )
+        y = np.asarray([ids[0] for ids in ys], np.int64).reshape(len(ys))
     return x, y, class_names
 
 
@@ -228,6 +241,7 @@ def scan_zip_split(cfg, split: str):
         )
     zip_rel = None
     members, labels = [], []
+    skipped = 0
     for im in index["images"]:
         fn = str(im["file_name"])
         if "@" not in fn:
@@ -238,8 +252,20 @@ def scan_zip_split(cfg, split: str):
         elif z != zip_rel:
             return None  # multiple archives: fall back
         ids = per_image.get(int(im["id"]), [])
+        if not ids:
+            # unannotated: never stream label -1 into training (it would
+            # wrap to the last class under take_along_axis CE)
+            skipped += 1
+            continue
         members.append(member)
-        labels.append(ids[0] if ids else -1)
+        labels.append(ids[0])
+    if skipped:
+        logger.warning(
+            "=> %s/%s: dropped %d unannotated zip member(s)",
+            entry.get("name"),
+            split,
+            skipped,
+        )
     if zip_rel is None:
         return None
     return os.path.join(base_dir, zip_rel), members, labels

@@ -31,44 +31,24 @@ from .samplers import build_order, shard_order
 logger = logging.getLogger(__name__)
 
 
-def prefetch_to_device(
-    batches: Iterator[Tuple[np.ndarray, np.ndarray]], depth: int = 2
-):
-    """Move (x, y) to device ``depth`` batches ahead of consumption on a
-    background thread, overlapping PCIe/ICI transfer with compute."""
-    import jax
+class _Raise:
+    """Exception captured on a producer thread, re-raised at the consumer
+    (a silently-truncated epoch must not look like a normal epoch end)."""
 
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    _END = object()
-
-    def producer():
-        try:
-            for x, y in batches:
-                q.put((jax.device_put(x), jax.device_put(y)))
-        finally:
-            q.put(_END)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
-def host_prefetch(batches: Iterator, depth: int = 8):
-    """Buffer host batches on a background thread (keeps the native
-    decode ring draining while the consumer blocks on device transfer —
-    the companion of TPU.STEPS_PER_DISPATCH chunking, where the trainer
-    owns the single big host->device transfer per chunk)."""
+def _threaded_pipe(batches: Iterator, transform, depth: int):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
 
     def producer():
         try:
             for item in batches:
-                q.put(item)
+                q.put(transform(item))
+        except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+            q.put(_Raise(e))
         finally:
             q.put(_END)
 
@@ -78,7 +58,33 @@ def host_prefetch(batches: Iterator, depth: int = 8):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, _Raise):
+            raise item.exc
         yield item
+
+
+def prefetch_to_device(
+    batches: Iterator[Tuple[np.ndarray, np.ndarray]], depth: int = 2
+):
+    """Move (x, y) to device ``depth`` batches ahead of consumption on a
+    background thread, overlapping PCIe/ICI transfer with compute.
+    Producer-side errors are re-raised at the consumer."""
+    import jax
+
+    return _threaded_pipe(
+        batches,
+        lambda xy: tuple(jax.device_put(a) for a in xy),
+        depth,
+    )
+
+
+def host_prefetch(batches: Iterator, depth: int = 8):
+    """Buffer host batches on a background thread (keeps the native
+    decode ring draining while the consumer blocks on device transfer —
+    the companion of TPU.STEPS_PER_DISPATCH chunking, where the trainer
+    owns the single big host->device transfer per chunk).  Producer-side
+    errors are re-raised at the consumer rather than ending the epoch."""
+    return _threaded_pipe(batches, lambda item: item, depth)
 
 
 _IMAGE_EXTS = (
@@ -216,12 +222,22 @@ class StreamingSource:
             if self.train
             else n_global
         )
-        # optimizer steps per epoch (each K*B chunk = K steps)
+        # drop_last operates at B granularity: full K*B chunks are scanned,
+        # and the epoch tail (< K full batches) is emitted as single
+        # batches — a small dataset must not silently yield zero batches
+        # just because K*B exceeds it (the reference's DataLoader drops at
+        # most B-1 samples; so do we).
         self.steps_per_epoch = max(
-            (self.samples_this_process // (self.batch * self.chunk))
-            * self.chunk,
-            1,
+            self.samples_this_process // self.batch, 1
         )
+        if self.train and self.samples_this_process < self.batch:
+            logger.warning(
+                "=> streaming %s: only %d samples for batch size %d — "
+                "every epoch will yield ZERO batches (drop_last)",
+                split,
+                self.samples_this_process,
+                self.batch,
+            )
         logger.info(
             "=> streaming %s: %d samples (%d this process), batch %d, "
             "sampler %s",
@@ -261,13 +277,22 @@ class StreamingSource:
             rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
             big = self.batch * self.chunk
             for x, y, count in self.loader.epoch(epoch, order=order):
-                if count < big:
-                    break  # drop_last
+                tail = count < big
+                n_full = count // self.batch  # full batches in the tail
+                if tail and n_full == 0:
+                    break  # drop_last at B granularity
                 x = self._normalize(x)
                 # raw-u8 mode leaves flips to the device-side transform
                 if self.flip and self.normalize:
                     sel = rng.rand(len(x)) < 0.5
                     x[sel] = x[sel, :, ::-1]
+                if tail:
+                    # epoch remainder: emit complete single batches so
+                    # small datasets (< K*B samples) still train
+                    for j in range(n_full):
+                        s = slice(j * self.batch, (j + 1) * self.batch)
+                        yield x[s], y[s]
+                    break
                 if self.chunk > 1:
                     # (K*B, ...) -> (K, B, ...) is a view — no copy
                     yield (

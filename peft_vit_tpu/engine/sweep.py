@@ -275,11 +275,19 @@ class SweepEngine:
         cfg = self.cfg
         lo = float(cfg.TRAIN.SEARCH_WD_LOG_LOWER)
         hi = float(cfg.TRAIN.SEARCH_WD_LOG_UPPER)
-        grid = np.logspace(lo, hi, num=int(cfg.TRAIN.SEARCH_WD_POINTS))
-        coarse_vals = set(
-            np.logspace(lo, hi, num=int(cfg.TRAIN.SEARCH_WD_INIT_POINTS))
-        )
-        init_idx = [i for i, v in enumerate(grid) if v in coarse_vals]
+        n_pts = int(cfg.TRAIN.SEARCH_WD_POINTS)
+        grid = np.logspace(lo, hi, num=n_pts)
+        # coarse points by INDEX into the fine grid (float equality
+        # between two separate logspace calls silently drops points for
+        # non-binary-representable custom bounds)
+        init_idx = [
+            int(i)
+            for i in np.linspace(
+                0,
+                n_pts - 1,
+                num=min(int(cfg.TRAIN.SEARCH_WD_INIT_POINTS), n_pts),
+            ).round()
+        ]
 
         scores = {}
 

@@ -38,7 +38,13 @@ PerExampleCriterion = Callable[[jax.Array, jax.Array], jax.Array]
 def ce_per_example(logits: jax.Array, target: jax.Array) -> jax.Array:
     logp = jax.nn.log_softmax(logits, axis=-1)
     if target.ndim == 1:
-        return -jnp.take_along_axis(logp, target[:, None], axis=-1)[:, 0]
+        ce = -jnp.take_along_axis(
+            logp, jnp.maximum(target, 0)[:, None], axis=-1
+        )[:, 0]
+        # negative labels (unannotated/corrupt data) must never silently
+        # wrap to the last class via take_along_axis — poison the loss so
+        # the every-step NaN guard aborts with a forensic dump
+        return jnp.where(target < 0, jnp.inf, ce)
     return -jnp.sum(target.astype(jnp.float32) * logp, axis=-1)
 
 

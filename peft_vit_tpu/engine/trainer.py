@@ -45,6 +45,11 @@ class FullTrainState(NamedTuple):
     ema: Optional[EmaState]
     swa: Optional[SwaState]
     batch_stats: Any = None  # live-BN running stats (CNN backbones)
+    # every-step NaN guard: AND of isfinite(loss) over all steps since
+    # init — checked at each host fetch, so a NaN inside a scan chunk or
+    # between PRINT_FREQ fetches cannot train through undetected (the
+    # reference checks every step, lib/core/function.py:91-107)
+    finite: Any = None
 
 
 class Trainer:
@@ -93,13 +98,30 @@ class Trainer:
             else None
         )
         swa = swa_init(trainable) if bool(cfg.SWA.ENABLED) else None
+        opt_state = self.tx.init(trainable)
+        # TPU.ZERO1: shard the optimizer state over the data axis (the
+        # production-trainer wiring of parallel/train_step.py:60-77) —
+        # GSPMD lowers the gradient all-reduce to reduce-scatter +
+        # all-gather around the sharded update
+        self.zero1 = bool(cfg.TPU.get("ZERO1", False)) and mesh is not None
+        self._opt_shardings = None
+        if self.zero1:
+            from ..parallel.mesh import replicated, zero_tree_shardings
+
+            self._opt_shardings = zero_tree_shardings(mesh, opt_state)
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, opt_state, self._opt_shardings
+            )
+            rep = replicated(mesh)
+            trainable = jax.device_put(trainable, rep)
         self.state = FullTrainState(
             trainable=trainable,
-            opt_state=self.tx.init(trainable),
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             ema=ema,
             swa=swa,
             batch_stats=batch_stats if self.has_bn else None,
+            finite=jnp.ones((), jnp.bool_),
         )
 
         aug = cfg.AUG
@@ -202,6 +224,8 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        opt_shardings = self._opt_shardings
+
         def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
             (loss, (logits, new_stats)), grads = grad_fn(
                 state.trainable, frozen, state.batch_stats, x, y, rng
@@ -209,6 +233,10 @@ class Trainer:
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.trainable
             )
+            if opt_shardings is not None:  # ZeRO-1: pin the sharded layout
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, opt_shardings
+                )
             trainable = optax.apply_updates(state.trainable, updates)
             ema = state.ema
             if ema is not None:
@@ -221,8 +249,15 @@ class Trainer:
                     lambda s: s,
                     swa,
                 )
+            finite = jnp.logical_and(state.finite, jnp.isfinite(loss))
             new_state = FullTrainState(
-                trainable, opt_state, state.step + 1, ema, swa, new_stats
+                trainable,
+                opt_state,
+                state.step + 1,
+                ema,
+                swa,
+                new_stats,
+                finite,
             )
             return new_state, loss, logits
 
@@ -242,7 +277,7 @@ class Trainer:
             (state, _), losses = jax.lax.scan(
                 body, (state, rng), (xs, ys)
             )
-            return state, losses[-1]
+            return state, losses
 
         if self.mesh is not None:
             # data-parallel over the mesh: batch sharded, state replicated;
@@ -279,6 +314,54 @@ class Trainer:
 
     # -- host loop ------------------------------------------------------------
 
+    def _device_prefetch(self, batches, depth: int):
+        """Background ``jax.device_put`` of upcoming items (chunks or single
+        batches) so the host->HBM transfer of chunk n+1 overlaps the K
+        device steps of chunk n — the pipelining the reference gets from
+        DataLoader workers + CUDA streams (lib/core/function.py:149-161)."""
+        from ..data.streaming import _threaded_pipe
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS, batch_sharding
+
+            bsh = batch_sharding(self.mesh)
+            csh = NamedSharding(
+                self.mesh, PartitionSpec(None, DATA_AXIS)
+            )
+        else:
+            bsh = csh = None
+
+        def put(item):
+            if len(item) == 3:
+                xs, ys, tag = item
+                return (
+                    jax.device_put(xs, csh),
+                    jax.device_put(ys, csh),
+                    tag,
+                )
+            x, y = item
+            return jax.device_put(x, bsh), jax.device_put(y, bsh)
+
+        return _threaded_pipe(batches, put, depth)
+
+    def _check_finite(self, epoch, i, x, y):
+        """Abort with a forensic dump when any step since init went
+        non-finite (state.finite ANDs isfinite(loss) across ALL steps,
+        including every scan index inside a chunk)."""
+        if bool(self.state.finite):
+            return
+        dump_nan_state(
+            f"{self.cfg.OUTPUT_DIR}/nan_dump_e{epoch}_i{i}.npz",
+            x=np.asarray(x) if x is not None else None,
+            y=np.asarray(y) if y is not None else None,
+        )
+        raise FloatingPointError(
+            f"NaN/Inf loss detected by epoch {epoch} iter {i} "
+            "(see the forensic dump; in scan mode the dump holds the "
+            "whole (K, B, ...) chunk)"
+        )
+
     def train_one_epoch(
         self, batches: Iterator[Tuple[np.ndarray, np.ndarray]], epoch: int
     ) -> Dict[str, float]:
@@ -288,6 +371,11 @@ class Trainer:
         k_disp = int(cfg.TPU.get("STEPS_PER_DISPATCH", 1))
         if k_disp > 1:
             batches = _chunk_batches(batches, k_disp)
+        depth = int(cfg.TPU.get("PREFETCH_DEPTH", 2))
+        if depth > 0:
+            batches = self._device_prefetch(batches, depth)
+        x = y = None
+        i = -1
         for i, item in enumerate(batches):
             self.rng, step_rng = jax.random.split(self.rng)
             if k_disp > 1 and len(item) == 3:
@@ -300,9 +388,9 @@ class Trainer:
                     step_rng,
                     jnp.asarray(epoch),
                 )
-                x = xs[-1]
+                x, y = xs, ys
                 seen += xs.shape[0] * xs.shape[1]
-                y = None
+                loss = loss[-1]
             else:
                 x, y = item
                 self.state, loss, _ = self._train_step(
@@ -317,16 +405,7 @@ class Trainer:
             if (i + 1) % int(cfg.PRINT_FREQ) == 0 or i == 0:
                 loss_v = float(loss)  # host fetch = sync point
                 losses.append(loss_v)
-                if not np.isfinite(loss_v):
-                    dump_nan_state(
-                        f"{cfg.OUTPUT_DIR}/nan_dump_e{epoch}_i{i}.npz",
-                        x=x,
-                        y=y,
-                        loss=loss,
-                    )
-                    raise FloatingPointError(
-                        f"NaN/Inf loss at epoch {epoch} iter {i}"
-                    )
+                self._check_finite(epoch, i, x, y)
                 speed = seen / max(time.time() - t_start, 1e-9)
                 logger.info(
                     "Epoch[%d] iter %d: loss %.4f lr %.3g (%.1f samples/s)",
@@ -336,7 +415,15 @@ class Trainer:
                     float(self.schedule(self.state.step)),
                     speed,
                 )
+        # end-of-epoch check covers steps after the last PRINT_FREQ fetch
+        self._check_finite(epoch, i, x, y)
         dt = time.time() - t_start
+        if i < 0:
+            logger.warning(
+                "Epoch[%d]: input pipeline yielded ZERO batches "
+                "(dataset smaller than the global batch?)",
+                epoch,
+            )
         return {
             "loss": float(np.mean(losses)) if losses else float("nan"),
             "samples_per_sec": seen / max(dt, 1e-9),
@@ -494,6 +581,7 @@ class Trainer:
             ema,
             swa,
             batch_stats if self.has_bn else None,
+            jnp.ones((), jnp.bool_),
         )
         return int(restored["epoch"])
 

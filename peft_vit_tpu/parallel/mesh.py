@@ -102,28 +102,35 @@ def zero_param_shardings(mesh: Mesh, params: Any):
     """
     from flax import traverse_util
 
-    ndata = mesh.shape[DATA_AXIS]
-
-    def spec_of(v):
-        if v is None:
-            return None
-        dims = list(v.shape)
-        # largest dim divisible by the data-axis size, if any
-        best = -1
-        for i, d in enumerate(dims):
-            if d % ndata == 0 and d >= ndata and (
-                best < 0 or d > dims[best]
-            ):
-                best = i
-        if best < 0:
-            return NamedSharding(mesh, P())
-        spec = [None] * len(dims)
-        spec[best] = DATA_AXIS
-        return NamedSharding(mesh, P(*spec))
-
     flat = traverse_util.flatten_dict(params, sep="/")
-    out = {k: spec_of(v) for k, v in flat.items()}
+    out = {k: _zero_leaf_sharding(mesh, v) for k, v in flat.items()}
     return traverse_util.unflatten_dict(out, sep="/")
+
+
+def _zero_leaf_sharding(mesh: Mesh, v) -> Optional[NamedSharding]:
+    """Partition a leaf's largest DATA-divisible dim; replicate otherwise."""
+    if v is None:
+        return None
+    ndata = mesh.shape[DATA_AXIS]
+    dims = list(np.shape(v))
+    best = -1
+    for i, d in enumerate(dims):
+        if d % ndata == 0 and d >= ndata and (best < 0 or d > dims[best]):
+            best = i
+    if best < 0:
+        return NamedSharding(mesh, P())
+    spec = [None] * len(dims)
+    spec[best] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero_tree_shardings(mesh: Mesh, tree: Any):
+    """ZeRO-1 shardings for an arbitrary pytree (e.g. an optax state with
+    NamedTuple nodes): shape-based per leaf, same rule as
+    ``zero_param_shardings`` but without requiring a dict pytree."""
+    return jax.tree_util.tree_map(
+        lambda v: _zero_leaf_sharding(mesh, v), tree
+    )
 
 
 def shard_tree_like(tree, shardings):

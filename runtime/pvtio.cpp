@@ -28,6 +28,8 @@
 #include <png.h>
 #include <zlib.h>
 
+#include <sys/stat.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -424,14 +426,15 @@ void* pvtio_loader_create_files(const char** file_paths,
   L->shuffle = shuffle != 0;
   L->seed = seed;
   L->raw_mode = 1;
+  // stat() (one syscall, no fd) instead of fopen/fseek/ftell/fclose:
+  // on >1M-file ImageFolder trees the open-per-file probe added minutes
+  // of single-threaded startup before the first batch
   for (int64_t i = 0; i < n; i++) {
-    FILE* f = fopen(file_paths[i], "rb");
-    if (!f) continue;
-    fseek(f, 0, SEEK_END);
-    long sz = ftell(f);
-    fclose(f);
-    if (sz <= 0) continue;
-    L->samples.push_back({file_paths[i], 0, (size_t)sz, labels[i]});
+    struct stat st;
+    if (stat(file_paths[i], &st) != 0 || !S_ISREG(st.st_mode) ||
+        st.st_size <= 0)
+      continue;
+    L->samples.push_back({file_paths[i], 0, (size_t)st.st_size, labels[i]});
   }
   const size_t img_bytes = (size_t)image_size * image_size * 3;
   if (ring_slots < 2) ring_slots = 2;

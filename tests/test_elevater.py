@@ -111,6 +111,37 @@ class TestElevaterReader:
         assert (y.sum(axis=1) >= 1).all()
         assert (y.sum(axis=1) > 1).any()
 
+    def test_unannotated_images_dropped(self, tmp_path):
+        """Images with no annotation must be dropped, not emitted as
+        label -1 (which would wrap to the last class under CE) —
+        VERDICT r2 weak #4 / advisor r2."""
+        root = str(tmp_path)
+        entry = _make_manifest(root, name="toy-unann")
+        # strip the annotations for images 3 and 7 from both splits
+        ds_dir = os.path.join(root, "classification", "toy-unann")
+        for split in ("train", "test"):
+            p = os.path.join(ds_dir, f"{split}.json")
+            with open(p) as f:
+                index = json.load(f)
+            index["annotations"] = [
+                a for a in index["annotations"]
+                if a["image_id"] not in (3, 7)
+            ]
+            with open(p, "w") as f:
+                json.dump(index, f)
+        x, y, _ = load_coco_split(root, entry, "train", 16)
+        assert x.shape[0] == 10 and y.shape == (10,)
+        assert (y >= 0).all()
+        # streaming resolver drops the same members
+        from peft_vit_tpu.data.elevater import scan_zip_split
+
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "toy-unann"
+        cfg.DATASET.ROOT = root
+        _, members, labels = scan_zip_split(cfg, "train")
+        assert len(members) == 10 and len(labels) == 10
+        assert min(labels) >= 0
+
     def test_registry_resolution(self, tmp_path):
         root = str(tmp_path)
         _make_manifest(root, name="toy-registry")

@@ -218,6 +218,63 @@ class TestChunkedStreaming:
         assert src.steps_per_epoch == n_chunks * 2
         src.close()
 
+    def test_chunk_tail_emitted_as_single_batches(self, tsv_shard):
+        """drop_last works at B granularity, not K*B: the epoch remainder
+        after the last full chunk yields complete single batches (an
+        epoch must never silently lose up to K*B-1 samples)."""
+        import jax
+
+        from peft_vit_tpu.data.streaming import StreamingSource
+
+        cfg = _cfg(tsv_shard, batch=1)
+        b = jax.local_device_count()  # 8 -> K*B = 32, 48 % 32 = 16 tail
+        src = StreamingSource(cfg, "train", batch_multiplier=4)
+        chunks, singles, seen = 0, 0, 0
+        for item in src.batches(0):
+            if len(item) == 3:
+                xs, ys, _ = item
+                chunks += 1
+                seen += xs.shape[0] * xs.shape[1]
+            else:
+                x, y = item
+                assert x.shape[0] == b
+                singles += 1
+                seen += len(y)
+        assert chunks == 48 // (4 * b)
+        assert singles == (48 % (4 * b)) // b
+        assert seen == (48 // b) * b
+        assert src.steps_per_epoch == 48 // b
+        src.close()
+
+    def test_small_dataset_still_yields_batches(self, tsv_shard):
+        """K*B larger than the dataset: the epoch still yields every
+        complete batch instead of zero batches (advisor r2 medium)."""
+        import jax
+
+        from peft_vit_tpu.data.streaming import StreamingSource
+
+        cfg = _cfg(tsv_shard, batch=2)
+        b = 2 * jax.local_device_count()  # 16; K=8 -> K*B=128 > 48
+        src = StreamingSource(cfg, "train", batch_multiplier=8)
+        items = list(src.batches(0))
+        n_batches = sum(
+            1 if len(it) == 2 else it[0].shape[0] for it in items
+        )
+        assert n_batches == 48 // b > 0
+        src.close()
+
+    def test_prefetch_propagates_producer_errors(self):
+        from peft_vit_tpu.data.streaming import host_prefetch
+
+        def bad():
+            yield 1
+            raise RuntimeError("decode ring died")
+
+        it = host_prefetch(bad(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="decode ring died"):
+            list(it)
+
     def test_chunked_e2e_through_trainer(self, tsv_shard):
         from peft_vit_tpu.config import get_default_config
         from peft_vit_tpu.commands.train import train_main

@@ -368,6 +368,92 @@ class TestRawUint8Path:
         )
 
 
+class TestEveryStepNanGuard:
+    """state.finite ANDs isfinite(loss) over every step — a NaN at any
+    scan index inside a (K, B, ...) chunk aborts at the next host fetch
+    with a forensic dump of the whole chunk (VERDICT r2 weak #5)."""
+
+    def test_nan_at_scan_index_0_detected(self, tmp_path):
+        k = 8
+        cfg = make_cfg(**{
+            "OUTPUT_DIR": str(tmp_path),
+            "PRINT_FREQ": 1,
+            "TPU.STEPS_PER_DISPATCH": k,
+        })
+        model, params, mask = setup(cfg)
+        x, y = synthetic_dataset(4, 16, 16)
+        x = x.astype(np.float32) / 255.0
+        xs = np.stack([x[:8]] * k)  # (K, B, ...)
+        ys = np.stack([y[:8]] * k)
+        xs[0, 0, 0, 0, 0] = np.inf  # poison ONLY scan index 0
+        trainer = Trainer(cfg, model, params, mask, steps_per_epoch=k)
+        with pytest.raises(FloatingPointError):
+            trainer.train_one_epoch(iter([(xs, ys, True)]), epoch=0)
+        dumps = list(tmp_path.glob("nan_dump_*.npz"))
+        assert dumps, "forensic dump written"
+        blob = np.load(dumps[0])
+        # the dump holds the WHOLE chunk, not just the last micro-batch
+        assert blob["x"].shape == (k, 8, 16, 16, 3)
+        assert blob["y"].shape == (k, 8)
+
+    def test_negative_label_poisons_loss(self):
+        """Corrupt (negative) labels must never silently wrap to the last
+        class — CE returns +inf so the NaN guard aborts."""
+        from peft_vit_tpu.engine.train import ce_per_example
+
+        logits = jnp.zeros((3, 5))
+        y = jnp.asarray([1, -1, 4])
+        per = np.asarray(ce_per_example(logits, y))
+        assert np.isfinite(per[0]) and np.isfinite(per[2])
+        assert np.isinf(per[1])
+
+
+class TestZero1Trainer:
+    """TPU.ZERO1 shards full-shot optimizer state over the data axis and
+    matches the replicated-state loss trajectory (VERDICT r2 weak #7)."""
+
+    def test_zero1_matches_replicated(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from peft_vit_tpu.parallel import make_mesh
+        from peft_vit_tpu.parallel.mesh import DATA_AXIS
+
+        x, y = synthetic_dataset(4, 16, 16)
+        x = x.astype(np.float32) / 255.0
+        mesh = make_mesh(data=8, model=1)
+
+        def run(zero1):
+            cfg = make_cfg(**{
+                "TRAIN.BATCH_SIZE_PER_GPU": 1,
+                "TRAIN.LR": 0.05,
+                "PRINT_FREQ": 1,
+                "TPU.ZERO1": zero1,
+            })
+            model, params, mask = setup(cfg)
+            tr = Trainer(
+                cfg, model, params, mask, steps_per_epoch=8, mesh=mesh,
+                rng=jax.random.PRNGKey(7),
+            )
+            losses = []
+            for e in range(2):
+                s = tr.train_one_epoch(
+                    batch_iterator(x, y, 8, seed=e), epoch=e
+                )
+                losses.append(s["loss"])
+            return tr, losses
+
+        tr_z, losses_z = run(True)
+        tr_r, losses_r = run(False)
+        np.testing.assert_allclose(losses_z, losses_r, rtol=2e-4)
+        # momentum buffers really are partitioned over the data axis
+        sharded = [
+            v.sharding.spec
+            for v in jax.tree_util.tree_leaves(tr_z.state.opt_state)
+            if hasattr(v, "sharding") and np.ndim(v) > 0
+        ]
+        assert any(DATA_AXIS in str(s) for s in sharded), sharded
+
+
 class TestScanModeWithMesh:
     """TPU.STEPS_PER_DISPATCH under a data-parallel mesh: the (K, B, ...)
     chunk shards its batch axis (axis 1) over the data axis."""
