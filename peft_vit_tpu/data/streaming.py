@@ -216,11 +216,15 @@ class StreamingSource:
         self.process_count = jax.process_count()
         self._labels: Optional[np.ndarray] = None
         n_global = len(self.loader)
-        self.samples_this_process = (
-            len(shard_order(np.arange(n_global), self.process_index,
-                            self.process_count))
-            if self.train
-            else n_global
+        self.n_global = n_global
+        # eval is ALSO process-sharded: each host decodes + scores only
+        # its stripe, and the trainer reduces across processes (the
+        # reference all-reduces per-rank meters, lib/core/function.py:
+        # 271-279) — without this every host would evaluate the full set
+        self.samples_this_process = len(
+            shard_order(
+                np.arange(n_global), self.process_index, self.process_count
+            )
         )
         # drop_last operates at B granularity: full K*B chunks are scanned,
         # and the epoch tail (< K full batches) is emitted as single
@@ -303,7 +307,12 @@ class StreamingSource:
                 else:
                     yield x, y
         else:
-            for x, y, count in self.loader.epoch(0):
+            order = shard_order(
+                np.arange(self.n_global, dtype=np.int64),
+                self.process_index,
+                self.process_count,
+            )
+            for x, y, count in self.loader.epoch(0, order=order):
                 yield self._normalize(x[:count]), y[:count]
 
     def device_batches(self, epoch: int = 0, depth: int = 2):

@@ -47,12 +47,16 @@ def save_checkpoint(
 
     if is_master is None:
         is_master = jax.process_index() == 0
-    if not is_master:
+    if jax.process_count() == 1 and not is_master:
         return
+    # multi-process: every process calls save (Orbax's save is a
+    # collective over global arrays); Orbax itself writes from the
+    # primary process only — the reference's rank-0-only semantics
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
-    logger.info("=> saved checkpoint step %d to %s", step, directory)
+    if is_master:
+        logger.info("=> saved checkpoint step %d to %s", step, directory)
 
 
 def latest_step(directory: str) -> Optional[int]:

@@ -38,6 +38,24 @@ from .optim import build_lr_schedule, build_optimizer
 logger = logging.getLogger(__name__)
 
 
+def _as_device(a):
+    """Pass through arrays already placed by the prefetch pipeline (a
+    multi-host global array must not be re-converted)."""
+    return a if isinstance(a, jax.Array) else jnp.asarray(a)
+
+
+def _host_view(a):
+    """Best-effort host copy for forensic dumps: a non-fully-addressable
+    (multi-host) array yields this process's shards only."""
+    if a is None:
+        return None
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        return np.concatenate(
+            [np.asarray(s.data) for s in a.addressable_shards]
+        )
+    return np.asarray(a)
+
+
 class FullTrainState(NamedTuple):
     trainable: Any
     opt_state: Any
@@ -331,17 +349,21 @@ class Trainer:
             )
         else:
             bsh = csh = None
+        multihost = jax.process_count() > 1 and self.mesh is not None
+
+        def to_global(a, sh):
+            if multihost:
+                # each process holds only its stripe of the global batch;
+                # assemble the global array from process-local shards
+                return jax.make_array_from_process_local_data(sh, a)
+            return jax.device_put(a, sh)
 
         def put(item):
             if len(item) == 3:
                 xs, ys, tag = item
-                return (
-                    jax.device_put(xs, csh),
-                    jax.device_put(ys, csh),
-                    tag,
-                )
+                return to_global(xs, csh), to_global(ys, csh), tag
             x, y = item
-            return jax.device_put(x, bsh), jax.device_put(y, bsh)
+            return to_global(x, bsh), to_global(y, bsh)
 
         return _threaded_pipe(batches, put, depth)
 
@@ -353,8 +375,8 @@ class Trainer:
             return
         dump_nan_state(
             f"{self.cfg.OUTPUT_DIR}/nan_dump_e{epoch}_i{i}.npz",
-            x=np.asarray(x) if x is not None else None,
-            y=np.asarray(y) if y is not None else None,
+            x=_host_view(x),
+            y=_host_view(y),
         )
         raise FloatingPointError(
             f"NaN/Inf loss detected by epoch {epoch} iter {i} "
@@ -372,6 +394,10 @@ class Trainer:
         if k_disp > 1:
             batches = _chunk_batches(batches, k_disp)
         depth = int(cfg.TPU.get("PREFETCH_DEPTH", 2))
+        if jax.process_count() > 1 and self.mesh is not None:
+            # multi-host REQUIRES the prefetch path: per-process local
+            # shards must be assembled into global arrays before the jit
+            depth = max(depth, 1)
         if depth > 0:
             batches = self._device_prefetch(batches, depth)
         x = y = None
@@ -383,8 +409,8 @@ class Trainer:
                 self.state, loss = self._train_step_scan(
                     self.state,
                     self.frozen,
-                    jnp.asarray(xs),
-                    jnp.asarray(ys),
+                    _as_device(xs),
+                    _as_device(ys),
                     step_rng,
                     jnp.asarray(epoch),
                 )
@@ -396,8 +422,8 @@ class Trainer:
                 self.state, loss, _ = self._train_step(
                     self.state,
                     self.frozen,
-                    jnp.asarray(x),
-                    jnp.asarray(y),
+                    _as_device(x),
+                    _as_device(y),
                     step_rng,
                     jnp.asarray(epoch),
                 )
@@ -454,10 +480,26 @@ class Trainer:
             )
             all_logits.append(np.asarray(logits, np.float32))
             all_y.append(np.asarray(y))
-        if not all_logits:
+        multihost = jax.process_count() > 1
+        if not all_logits and not multihost:
             return 0.0
-        scores = np.concatenate(all_logits)
-        target = np.concatenate(all_y)
+        if all_logits:
+            scores = np.concatenate(all_logits)
+            target = np.concatenate(all_y)
+        else:  # empty shard: still participate in the gather below
+            scores = np.zeros((0, self.num_classes), np.float32)
+            target = np.zeros((0,), np.int64)
+        if multihost:
+            # each process evaluated only its stripe of the test set
+            # (data/streaming.py shards eval by process_index); combine —
+            # the reference all-reduces per-rank meters
+            # (lib/core/function.py:271-279)
+            from ..parallel.collectives import allgather_ragged
+
+            scores = allgather_ragged(scores)
+            target = allgather_ragged(target)
+            if scores.shape[0] == 0:
+                return 0.0
         if metric is None and target.ndim == 2:
             metric = "11point_mAP"
         if metric is not None and metric not in ("accuracy", "top1"):
@@ -545,7 +587,21 @@ class Trainer:
             out["swa_count"] = s.swa.count
         if self.has_bn:
             out["batch_stats"] = s.batch_stats
+        if jax.process_count() > 1:
+            # Orbax cannot serialize host-local arrays multi-host; lift
+            # any stragglers (e.g. the epoch scalar) to replicated global
+            out = jax.tree_util.tree_map(self._globalize_leaf, out)
         return out
+
+    def _globalize_leaf(self, v):
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            return v  # already a global (multi-host) array
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec
+
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(v), self.mesh, PartitionSpec()
+        )
 
     def save(self, directory: str, epoch: int) -> None:
         save_checkpoint(directory, epoch, self._ckpt_state(epoch))

@@ -44,3 +44,27 @@ def host_allgather(x):
     from jax.experimental import multihost_utils
 
     return multihost_utils.process_allgather(x)
+
+
+def allgather_ragged(x):
+    """Gather per-process arrays that may differ in leading length (e.g.
+    each process's shard of the eval set) into one concatenated array, in
+    process order.  Pads to the max length for the fixed-shape collective,
+    then trims — the multi-host analog of the reference's padded
+    byte-tensor all_gather (utils/comm.py:67-106)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() <= 1:
+        return np.asarray(x)
+    x = np.asarray(x)
+    counts = multihost_utils.process_allgather(
+        np.asarray([x.shape[0]], np.int64)
+    ).reshape(-1)
+    m = int(counts.max())
+    padded = np.zeros((m,) + x.shape[1:], x.dtype)
+    padded[: x.shape[0]] = x
+    stacked = multihost_utils.process_allgather(padded)  # (P, m, ...)
+    return np.concatenate(
+        [stacked[p, : int(c)] for p, c in enumerate(counts)]
+    )
