@@ -117,38 +117,63 @@ def wiktionary_knowledge(
     return {"wiki": meaning} if meaning else {}
 
 
+def gpt3_corpus() -> Dict:
+    """The reference tool's constant data, ported verbatim as a resource
+    (resources/knowledge/gpt3_corpus.json): the 22-dataset batch list
+    (extract_knowledge.py:42), the ODinW class list (:692), the ODinW
+    benchmark dataset list (:1128), and the exact prompt format /
+    decoding parameters of ask_gpt3 (:120-149)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources",
+        "knowledge",
+        "gpt3_corpus.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
 def build_gpt3_prompt(
     classname: str,
     examples: List[tuple],
-    n_shot: int = 3,
+    n_shot: Optional[int] = None,
     seed: int = 0,
 ) -> str:
     """The reference's few-shot prompt (ask_gpt3, extract_knowledge.py:
-    120-138): wiki-known (name, definition) pairs as in-context examples."""
+    120-138): wiki-known (name, definition) pairs as in-context examples,
+    format/shots taken from the ported corpus so the emitted prompt is
+    reference-identical."""
     import random as _random
 
+    spec = gpt3_corpus()["prompt"]
+    if n_shot is None:
+        n_shot = int(spec["n_shot"])
     rng = _random.Random(seed)
-    prompt = "Please explain the concept according to the context.\n===\n"
+    prompt = spec["header"]
     n = min(n_shot, len(examples))
     for _ in range(n):
         name, definition = examples[rng.randint(0, len(examples) - 1)]
-        prompt += "Q: %s\nA: %s\n\n===\n" % (name, definition)
-    prompt += "Q: %s\nA:" % classname
+        prompt += spec["example_format"] % (name, definition)
+    prompt += spec["query_format"] % classname
     return prompt
 
 
 def gpt3_knowledge(
     classname: str,
     examples: Optional[List[tuple]] = None,
-    n_shot: int = 3,
-    n_ensemble: int = 1,
-    max_tokens: int = 50,
+    n_shot: Optional[int] = None,
+    n_ensemble: Optional[int] = None,
+    max_tokens: Optional[int] = None,
 ) -> Dict:
     """Few-shot GPT-3 queries with wiki-grounded in-context examples
     (ask_gpt3, extract_knowledge.py:120-178: temperature 0, stop at
-    newline, n_ensemble repeats).  Requires OPENAI_API_KEY; {} offline."""
+    newline, n_ensemble repeats).  All decoding parameters default to the
+    ported corpus values.  Requires OPENAI_API_KEY; {} offline."""
     if not os.environ.get("OPENAI_API_KEY"):
         return {}
+    spec = gpt3_corpus()["prompt"]
+    n_ensemble = n_ensemble or int(spec["n_ensemble"])
+    max_tokens = max_tokens or int(spec["max_tokens"])
     try:  # pragma: no cover - network path
         import openai
 
@@ -158,17 +183,52 @@ def gpt3_knowledge(
                 classname, examples or [], n_shot, seed=rep
             )
             resp = openai.Completion.create(
-                engine=os.environ.get("PVT_GPT3_ENGINE", "davinci"),
+                engine=os.environ.get(
+                    "PVT_GPT3_ENGINE", spec["engine"]
+                ),
                 prompt=prompt,
                 max_tokens=max_tokens,
-                temperature=0.0,
-                stop=["\n", "<|endoftext|>"],
+                temperature=float(spec["temperature"]),
+                stop=list(spec["stop"]),
             )
             answers.append(resp.choices[0].text.strip())
         return {"gpt3": answers}
     except Exception as e:
         logger.warning("gpt3 query failed: %s", e)
         return {}
+
+
+def dump_gpt3_prompts(
+    dataset: str,
+    classnames: Optional[List[str]] = None,
+    out_dir: str = "resources/knowledge",
+    wiki_dict_path: Optional[str] = None,
+) -> str:
+    """Emit the exact GPT-3 prompts the reference would send (one per
+    class, reference prompt format) WITHOUT querying — auditable offline,
+    and byte-identical to what runs when a key is present."""
+    classnames = classnames or class_map(dataset) or []
+    if not classnames:
+        raise ValueError(f"no class names known for {dataset!r}")
+    wiki_dict = None
+    if wiki_dict_path and os.path.exists(wiki_dict_path):
+        with open(wiki_dict_path) as f:
+            wiki_dict = json.load(f)
+    examples = []
+    for name in classnames:
+        got = wiktionary_knowledge(name, wiki_dict)
+        if got.get("wiki"):
+            examples.append((name, got["wiki"]))
+    prompts = {
+        name: build_gpt3_prompt(name, examples, seed=0)
+        for name in classnames
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"GPT3_prompts_{dataset}.json")
+    with open(path, "w") as f:
+        json.dump(prompts, f, indent=1)
+    logger.info("=> wrote %s (%d prompts)", path, len(prompts))
+    return path
 
 
 def extract_dataset_knowledge(
@@ -218,21 +278,70 @@ def extract_dataset_knowledge(
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="extract class knowledge")
-    p.add_argument("--dataset", required=True)
+    p.add_argument("--dataset", default=None)
+    p.add_argument(
+        "--all",
+        action="store_true",
+        help="iterate the reference's 22-dataset batch list "
+        "(extract_knowledge.py:42, ported in gpt3_corpus.json)",
+    )
+    p.add_argument(
+        "--odinw-list",
+        action="store_true",
+        help="use the ported ODinW class-name list "
+        "(extract_konwledge_for_odinw_from_list, :692)",
+    )
     p.add_argument("--out", default="resources/knowledge")
     p.add_argument("--wordnet", action="store_true", default=True)
     p.add_argument("--wiki", action="store_true")
     p.add_argument("--gpt3", action="store_true")
+    p.add_argument(
+        "--dump-prompts",
+        action="store_true",
+        help="write the reference-identical GPT-3 prompts without querying",
+    )
     p.add_argument("--wiki-dict", default=None)
     args = p.parse_args(argv)
-    return extract_dataset_knowledge(
-        args.dataset,
-        out_dir=args.out,
-        use_wordnet=args.wordnet,
-        use_wiki=args.wiki,
-        use_gpt3=args.gpt3,
-        wiki_dict_path=args.wiki_dict,
-    )
+    corpus = gpt3_corpus()
+    if args.all:
+        datasets = list(corpus["ds_list"])
+    elif args.dataset:
+        datasets = [args.dataset]
+    elif args.odinw_list:
+        datasets = ["odinw_meta_classname_list"]
+    else:
+        p.error("one of --dataset / --all / --odinw-list is required")
+    outputs = []
+    for ds in datasets:
+        names = (
+            list(corpus["odinw_classnames"]) if args.odinw_list else None
+        )
+        try:
+            if args.dump_prompts:
+                outputs.append(
+                    dump_gpt3_prompts(
+                        ds, names, out_dir=args.out,
+                        wiki_dict_path=args.wiki_dict,
+                    )
+                )
+            else:
+                outputs.append(
+                    extract_dataset_knowledge(
+                        ds,
+                        classnames=names,
+                        out_dir=args.out,
+                        use_wordnet=args.wordnet,
+                        use_wiki=args.wiki,
+                        use_gpt3=args.gpt3,
+                        wiki_dict_path=args.wiki_dict,
+                    )
+                )
+        except ValueError as e:
+            # batch mode tolerates datasets with no local class list
+            if not (args.all and len(datasets) > 1):
+                raise
+            logger.warning("skipping %s: %s", ds, e)
+    return outputs if (args.all or len(outputs) != 1) else outputs[0]
 
 
 if __name__ == "__main__":

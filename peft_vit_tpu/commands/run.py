@@ -200,7 +200,20 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
         best_lr, best_wd, _ = engine.sweep(task, end_epoch)
 
     # final run: merge train+val, extra epochs (adapter_tuning_clip.py:429-481)
+    # protocol lines match the reference exactly
+    # (full_model_finetune.py:426-427,446) so log-schema tooling parses
+    # both frameworks' logs identically
+    logger.info("=> The final classifier is on training ...")
+    logger.info(
+        "Hyperparameters: learning_rate = %s, l2_lambda = %s",
+        best_lr,
+        best_wd,
+    )
     xt, yt = merge_trainval(splits)
+    logger.info(
+        "Using the full trainval set to train final model. len(dataset)=%d",
+        len(yt),
+    )
     final_task = make_array_task(
         xt, yt, splits.x_test, splits.y_test, batch
     )

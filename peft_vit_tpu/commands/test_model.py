@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--valid-labels", default=None, help="comma class ids")
     p.add_argument("--references", default=None, help="json caption refs")
     p.add_argument("--caption", default="a photo")
+    p.add_argument(
+        "--metrics",
+        default="Bleu,METEOR,ROUGE_L,CIDEr",
+        help="comma-separated caption metric families (TEST.METRIC)",
+    )
     args = p.parse_args(argv)
 
     if args.mode == "retrieval":
@@ -68,7 +73,9 @@ def main(argv=None):
     else:  # caption
         refs = json.load(open(args.references))
         model = FakedImageCaptionModel(args.caption)
-        out = image_caption_eval(model, [None] * len(refs), refs)
+        out = image_caption_eval(
+            model, [None] * len(refs), refs, metrics=args.metrics
+        )
 
     print(json.dumps({k: round(float(v), 4) for k, v in out.items()}))
     return out

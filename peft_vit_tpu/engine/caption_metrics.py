@@ -1,8 +1,9 @@
 """COCO caption-toolkit metrics, implemented from the published formulas.
 
 The reference's image-caption benchmark defers to the pycocoevalcap
-toolkit (few_shot image_caption_evaluator.py); this module provides the
-same metric definitions natively so the caption harness runs offline:
+toolkit (few_shot image_caption_evaluator.py:11,21-29 selects Bleu /
+METEOR / ROUGE_L / CIDEr / SPICE from TEST.METRIC); this module provides
+the metric definitions natively so the caption harness runs offline:
 
 * corpus BLEU-1..4 — clipped n-gram precision with brevity penalty
   (Papineni et al. 2002; pycocoevalcap 'closest' reference length)
@@ -10,6 +11,13 @@ same metric definitions natively so the caption harness runs offline:
   with the max over references
 * CIDEr-D — tf-idf weighted n-gram cosine, n=1..4, length gaussian
   sigma=6, x10 (Vedantam et al. 2015, the -D variant pycocoevalcap uses)
+* METEOR — unigram alignment with exact -> Porter-stem -> WordNet-synonym
+  stages, harmonic F-mean and chunk fragmentation penalty (Lavie &
+  Agarwal 2007; the synonym stage engages only when the local nltk
+  wordnet corpus is present, same gating as commands/extract_knowledge)
+* SPICE — NOT implemented: it requires the Java Stanford scene-graph
+  parser (a dependency even the reference ships out-of-band); recorded
+  as an explicit exclusion in PARITY.md
 """
 
 from __future__ import annotations
@@ -165,15 +173,132 @@ def cider_d(
     return sum(scores) / max(len(scores), 1)
 
 
+def _stemmer():
+    try:
+        from nltk.stem.porter import PorterStemmer
+
+        return PorterStemmer().stem
+    except Exception:
+        return lambda w: w
+
+
+def _wordnet_synsets():
+    """Synonym lookup via the LOCAL nltk wordnet corpus; None when the
+    corpus data is absent (zero-egress gating, like extract_knowledge)."""
+    try:
+        from nltk.corpus import wordnet as wn
+
+        wn.synsets("test")  # force the LookupError early
+        return lambda w: {
+            lemma.name().lower()
+            for syn in wn.synsets(w)
+            for lemma in syn.lemmas()
+        }
+    except Exception:
+        return None
+
+
+def _meteor_align(
+    cand: List[str], ref: List[str], stem, synsets
+) -> List[Tuple[int, int]]:
+    """Greedy staged alignment: exact, then stem, then WordNet synonym.
+    Each stage matches only still-unaligned tokens; within a stage,
+    candidate tokens take the first free reference token (the METEOR
+    beam's tie-break for captions is negligible at this length)."""
+    used_c = [False] * len(cand)
+    used_r = [False] * len(ref)
+    pairs: List[Tuple[int, int]] = []
+
+    def stage(match_fn):
+        for i, cw in enumerate(cand):
+            if used_c[i]:
+                continue
+            for j, rw in enumerate(ref):
+                if used_r[j]:
+                    continue
+                if match_fn(cw, rw):
+                    used_c[i] = used_r[j] = True
+                    pairs.append((i, j))
+                    break
+
+    stage(lambda a, b: a == b)
+    stage(lambda a, b: stem(a) == stem(b))
+    if synsets is not None:
+        stage(lambda a, b: a in synsets(b) or b in synsets(a))
+    return sorted(pairs)
+
+
+def _meteor_chunks(pairs: List[Tuple[int, int]]) -> int:
+    """Number of maximal runs contiguous in BOTH candidate and reference."""
+    chunks = 0
+    prev = None
+    for i, j in pairs:
+        if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+            chunks += 1
+        prev = (i, j)
+    return chunks
+
+
+def meteor(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    alpha: float = 0.9,
+    beta: float = 3.0,
+    gamma: float = 0.5,
+) -> float:
+    """Mean METEOR in percent (best reference per image), Lavie & Agarwal
+    2007 parameters: F = P*R / (alpha*P + (1-alpha)*R), fragmentation
+    penalty gamma * (chunks/matches)^beta."""
+    stem = _stemmer()
+    synsets = _wordnet_synsets()
+    scores = []
+    for cand, refs in zip(candidates, references):
+        c = _tokens(cand)
+        best = 0.0
+        for r in refs:
+            rt = _tokens(r)
+            if not c or not rt:
+                continue
+            pairs = _meteor_align(c, rt, stem, synsets)
+            m = len(pairs)
+            if m == 0:
+                continue
+            p = m / len(c)
+            rcl = m / len(rt)
+            f_mean = p * rcl / (alpha * p + (1 - alpha) * rcl)
+            frag = _meteor_chunks(pairs) / m
+            score = f_mean * (1.0 - gamma * frag**beta)
+            best = max(best, score)
+        scores.append(best)
+    return 100.0 * sum(scores) / max(len(scores), 1)
+
+
 def coco_caption_metrics(
-    candidates: Sequence[str], references: Sequence[Sequence[str]]
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    metrics: str = "Bleu,METEOR,ROUGE_L,CIDEr",
 ) -> Dict[str, float]:
-    b = bleu(candidates, references)
-    return {
-        "Bleu_1": b[0],
-        "Bleu_2": b[1],
-        "Bleu_3": b[2],
-        "Bleu_4": b[3],
-        "ROUGE_L": rouge_l(candidates, references),
-        "CIDEr": cider_d(candidates, references),
-    }
+    """Metric families selected EXACTLY like the reference's
+    image_caption_evaluator (TEST.METRIC.split(',')); a requested SPICE
+    logs the documented exclusion instead of failing the run."""
+    wanted = [m.strip() for m in str(metrics).split(",") if m.strip()]
+    out: Dict[str, float] = {}
+    if "Bleu" in wanted:
+        b = bleu(candidates, references)
+        out.update(
+            {f"Bleu_{i + 1}": b[i] for i in range(len(b))}
+        )
+    if "METEOR" in wanted:
+        out["METEOR"] = meteor(candidates, references)
+    if "ROUGE_L" in wanted:
+        out["ROUGE_L"] = rouge_l(candidates, references)
+    if "CIDEr" in wanted:
+        out["CIDEr"] = cider_d(candidates, references)
+    if "SPICE" in wanted:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "SPICE requested but excluded (needs the Java scene-graph "
+            "parser; see PARITY.md)"
+        )
+    return out

@@ -78,14 +78,18 @@ class FakedImageCaptionModel:
 
 
 def image_caption_eval(
-    model, images, references: List[List[str]]
+    model, images, references: List[List[str]],
+    metrics: str = "Bleu,METEOR,ROUGE_L,CIDEr",
 ) -> Dict[str, float]:
     """Caption benchmark with the COCO toolkit metric set (BLEU-1..4,
-    ROUGE-L, CIDEr-D — engine.caption_metrics implements the published
-    formulas natively, replacing the reference's pycocoevalcap import)."""
+    METEOR, ROUGE-L, CIDEr-D — engine.caption_metrics implements the
+    published formulas natively, replacing pycocoevalcap).  ``metrics``
+    takes the reference's comma-separated TEST.METRIC families
+    (image_caption_evaluator.py:21-29)."""
     from .caption_metrics import coco_caption_metrics
 
     captions = model.generate(images)
-    out = coco_caption_metrics(captions, references)
-    out["bleu1"] = out["Bleu_1"]  # round-1 key kept for compatibility
+    out = coco_caption_metrics(captions, references, metrics=metrics)
+    if "Bleu_1" in out:
+        out["bleu1"] = out["Bleu_1"]  # round-1 key kept for compatibility
     return out

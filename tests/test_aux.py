@@ -104,6 +104,43 @@ class TestCaption:
         r = rouge_l(cands, refs)
         assert 0.0 < r < 100.0
 
+    def test_meteor_exact_and_ordering(self):
+        from peft_vit_tpu.engine.caption_metrics import meteor
+
+        # identical sentence: P=R=1, F=1, one chunk over 6 matches ->
+        # score = 1 - 0.5 * (1/6)^3
+        m = meteor(["the cat sat on the mat"], [["the cat sat on the mat"]])
+        assert m == pytest.approx(100.0 * (1 - 0.5 / 216), abs=1e-6)
+        # same unigrams scrambled: same P/R but fragmented -> lower
+        scrambled = meteor(
+            ["mat the on sat cat the"], [["the cat sat on the mat"]]
+        )
+        assert 0.0 < scrambled < m
+        # no overlap -> 0
+        assert meteor(["x y z"], [["a b c"]]) == 0.0
+
+    def test_meteor_stem_matching(self):
+        from peft_vit_tpu.engine.caption_metrics import meteor
+
+        # 'cats'~'cat' and 'running'~'runs' only match via Porter stems
+        with_stem = meteor(["cats running"], [["cat runs"]])
+        assert with_stem > 0.0
+
+    def test_metric_selection_matches_reference(self):
+        """TEST.METRIC comma-selection semantics
+        (image_caption_evaluator.py:21-29)."""
+        from peft_vit_tpu.engine.caption_metrics import coco_caption_metrics
+
+        cands = ["a dog"]
+        refs = [["a dog"]]
+        only_bleu = coco_caption_metrics(cands, refs, metrics="Bleu")
+        assert set(only_bleu) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"}
+        m = coco_caption_metrics(cands, refs, metrics="METEOR,CIDEr")
+        assert set(m) == {"METEOR", "CIDEr"}
+        # SPICE is a documented exclusion: logged, never a crash
+        s = coco_caption_metrics(cands, refs, metrics="SPICE")
+        assert s == {}
+
     def test_cider_rewards_specificity(self):
         from peft_vit_tpu.engine.caption_metrics import cider_d
 

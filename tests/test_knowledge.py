@@ -63,6 +63,75 @@ class TestGpt3Prompt:
         assert p.endswith("Q: zebra\nA:")
 
 
+class TestGpt3Corpus:
+    """The ported constant data of the reference GPT-3 tool
+    (extract_knowledge.py:42,:692,:1128 + the ask_gpt3 prompt format)."""
+
+    def test_corpus_contents(self):
+        from peft_vit_tpu.commands.extract_knowledge import gpt3_corpus
+
+        c = gpt3_corpus()
+        assert len(c["ds_list"]) == 22
+        assert c["ds_list"][0] == "eurosat-clip"
+        assert "stanfordcar" in c["ds_list"]
+        assert len(c["odinw_classnames"]) == 46
+        assert c["odinw_classnames"][0] == "Ambulance"
+        assert len(c["odinw_datasets"]) == 27
+        spec = c["prompt"]
+        assert spec["engine"] == "davinci-msft"
+        assert spec["stop"] == ["\n", "<|endoftext|>"]
+        assert spec["n_shot"] == 5
+
+    def test_default_shots_from_corpus(self):
+        from peft_vit_tpu.commands.extract_knowledge import (
+            build_gpt3_prompt,
+        )
+
+        examples = [(f"c{i}", f"def {i}") for i in range(10)]
+        p = build_gpt3_prompt("zebra", examples, seed=0)
+        assert p.count("\n===\n") == 6  # header + n_shot=5 examples
+
+    def test_dump_prompts_offline(self, tmp_path):
+        from peft_vit_tpu.commands.extract_knowledge import (
+            dump_gpt3_prompts,
+        )
+        from peft_vit_tpu.data.prompts import register_prompts
+
+        wik_path = tmp_path / "wik.json"
+        wik_path.write_text(json.dumps(WIK))
+        register_prompts("toy-gpt3", ["dog", "sports car", "zebra"])
+        out = dump_gpt3_prompts(
+            "toy-gpt3",
+            out_dir=str(tmp_path),
+            wiki_dict_path=str(wik_path),
+        )
+        prompts = json.loads(open(out).read())
+        assert set(prompts) == {"dog", "sports car", "zebra"}
+        p = prompts["zebra"]
+        assert p.startswith(
+            "Please explain the concept according to the context.\n===\n"
+        )
+        assert p.endswith("Q: zebra\nA:")
+        # wiki-grounded in-context examples present (sampled with
+        # replacement, exactly like the reference's random.randint draw)
+        assert "a domesticated" in p or "a low small fast car" in p
+
+    def test_cli_batch_and_odinw(self, tmp_path):
+        from peft_vit_tpu.commands.extract_knowledge import main
+
+        outs = main([
+            "--all", "--dump-prompts", "--out", str(tmp_path / "b"),
+        ])
+        # batch mode: datasets without local class lists are skipped,
+        # the ones with ported prompt lists emit files
+        assert isinstance(outs, list) and len(outs) > 0
+        odinw = main([
+            "--odinw-list", "--dump-prompts", "--out", str(tmp_path / "o"),
+        ])
+        prompts = json.loads(open(odinw).read())
+        assert len(prompts) == 46 and "Ambulance" in prompts
+
+
 class TestExtractPipeline:
     def test_wiki_extraction_and_zeroshot_consumption(self, tmp_path):
         wik_path = tmp_path / "wik_dict.json"
