@@ -54,6 +54,10 @@ _C["TPU"] = CN(
         # ZeRO-1: shard full-shot optimizer state over the data mesh axis
         # (reduce-scatter + all-gather instead of all-reduce)
         "ZERO1": False,
+        # int8 MXU GEMMs on deterministic (no-grad) forwards: feature
+        # extraction, zero-shot, cached prefix (v5e: 394 TOPS s8 vs
+        # 197 TF/s bf16); training forwards are never quantized
+        "INT8_INFERENCE": False,
         # background device_put of the next chunk while the current one
         # computes (depth of the transfer pipeline; 0 disables)
         "PREFETCH_DEPTH": 2,

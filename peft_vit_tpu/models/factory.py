@@ -157,6 +157,10 @@ def build_image_classifier(
     # TPU.BF16_LN: LayerNorm statistics in the compute dtype (bf16); with
     # BF16_SOFTMAX this is the profiled v5e training fast path
     ln_fp32 = not bool(cfg.TPU.get("BF16_LN", False))
+    # TPU.INT8_INFERENCE: int8 MXU GEMMs on deterministic (no-grad)
+    # forwards — feature extraction / zero-shot / cached-backbone prefix
+    # (ops/int8.py); training forwards are untouched
+    int8 = bool(cfg.TPU.get("INT8_INFERENCE", False))
 
     sd = None
     if cfg.MODEL.PRETRAINED:
@@ -210,6 +214,7 @@ def build_image_classifier(
                 use_flash=use_flash,
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
+                int8=int8,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,
@@ -337,6 +342,7 @@ def build_image_classifier(
                 use_flash=use_flash,
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
+                int8=int8,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,

@@ -101,24 +101,31 @@ def bert_init(std: float = 0.02):
 
 
 class Mlp(nn.Module):
-    """c_fc -> act -> c_proj (reference adapter_model.py:316-320)."""
+    """c_fc -> act -> c_proj (reference adapter_model.py:316-320).
+
+    ``int8=True`` routes both GEMMs through the int8 MXU inference path
+    (ops/int8.py) — set only on no-grad forwards."""
 
     width: int
     hidden: int
     act: str = "gelu"
+    int8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(
+        from ..ops.int8 import Int8Dense
+
+        dense = Int8Dense if self.int8 else nn.Dense
+        x = dense(
             self.hidden,
             name="c_fc",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         x = ACT2FN[self.act](x)
-        x = nn.Dense(
+        x = dense(
             self.width,
             name="c_proj",
             dtype=self.dtype,
@@ -300,18 +307,22 @@ class MultiHeadAttention(nn.Module):
     causal: bool = False
     use_flash: bool = True
     softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
+    int8: bool = False  # int8 MXU GEMMs for in/out_proj (no-grad only)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.int8 import Int8Dense
+
         b, n, d = x.shape
         h = self.heads
         hd = d // h
         spec = self.spec
         scale = hd**-0.5
+        dense = Int8Dense if self.int8 else nn.Dense
 
-        qkv = nn.Dense(
+        qkv = dense(
             3 * d,
             name="in_proj",
             dtype=self.dtype,
@@ -501,7 +512,7 @@ class MultiHeadAttention(nn.Module):
             )(vp).reshape(b, g * g, d)
             out = out.at[:, self.n_prefix :, :].add(lepe)
 
-        out = nn.Dense(
+        out = dense(
             d,
             name="out_proj",
             dtype=self.dtype,
@@ -531,6 +542,7 @@ class Block(nn.Module):
     causal: bool = False
     use_flash: bool = True
     softmax_fp32: bool = True
+    int8: bool = False  # int8 GEMMs on no-grad forwards (TPU.INT8_INFERENCE)
     drop_path: float = 0.0
     ln_fp32: bool = True
     dtype: Dtype = jnp.float32
@@ -541,6 +553,9 @@ class Block(nn.Module):
         self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         spec = self.spec
+        # int8 only on deterministic (no-grad) forwards: jnp.round has a
+        # zero gradient, so the training path must never route through it
+        int8 = self.int8 and deterministic
         attn_out = MultiHeadAttention(
             self.width,
             self.heads,
@@ -550,6 +565,7 @@ class Block(nn.Module):
             causal=self.causal,
             use_flash=self.use_flash,
             softmax_fp32=self.softmax_fp32,
+            int8=int8,
             name="attn",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -566,6 +582,7 @@ class Block(nn.Module):
             self.width,
             int(self.width * self.mlp_ratio),
             act=self.act,
+            int8=int8,
             name="mlp",
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -60,6 +60,7 @@ class _BlockCell(nn.Module):
     softmax_fp32: bool
     remat: bool
     ln_fp32: bool
+    int8: bool
     dtype: Dtype
     param_dtype: Dtype
 
@@ -78,6 +79,8 @@ class _BlockCell(nn.Module):
             grid_size=self.grid_size,
             n_prefix=self.n_prefix,
             use_flash=self.use_flash,
+            softmax_fp32=self.softmax_fp32,
+            int8=self.int8,
             drop_path=0.0,
             ln_fp32=self.ln_fp32,
             name="block",
@@ -103,6 +106,7 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     ln_fp32: bool = True
     scan_layers: bool = False
+    int8: bool = False  # int8 GEMMs on deterministic (no-grad) forwards
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -255,6 +259,7 @@ class VisionTransformer(nn.Module):
                 self.softmax_fp32,
                 self.remat,
                 self.ln_fp32,
+                self.int8,
                 self.dtype,
                 self.param_dtype,
                 name="blocks",
@@ -296,6 +301,7 @@ class VisionTransformer(nn.Module):
                 n_prefix=n_prefix,
                 use_flash=self.use_flash,
                 softmax_fp32=self.softmax_fp32,
+                int8=self.int8,
                 drop_path=float(dpr[i]),
                 ln_fp32=self.ln_fp32,
                 name=f"blocks_{i}",
