@@ -58,6 +58,11 @@ _C["TPU"] = CN(
         # extraction, zero-shot, cached prefix (v5e: 394 TOPS s8 vs
         # 197 TF/s bf16); training forwards are never quantized
         "INT8_INFERENCE": False,
+        # attention computed in lax.map slices of this batch size: at
+        # B >= ~32 the fused score tensor spills VMEM; chunking keeps
+        # attention linear in batch while the other GEMMs get large-M
+        # MXU efficiency (0 = off)
+        "ATTN_BATCH_CHUNK": 0,
         # background device_put of the next chunk while the current one
         # computes (depth of the transfer pipeline; 0 disables)
         "PREFETCH_DEPTH": 2,

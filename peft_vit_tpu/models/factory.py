@@ -161,6 +161,7 @@ def build_image_classifier(
     # forwards — feature extraction / zero-shot / cached-backbone prefix
     # (ops/int8.py); training forwards are untouched
     int8 = bool(cfg.TPU.get("INT8_INFERENCE", False))
+    attn_batch_chunk = int(cfg.TPU.get("ATTN_BATCH_CHUNK", 0))
 
     sd = None
     if cfg.MODEL.PRETRAINED:
@@ -215,6 +216,7 @@ def build_image_classifier(
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
                 int8=int8,
+                attn_batch_chunk=attn_batch_chunk,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,
@@ -343,6 +345,7 @@ def build_image_classifier(
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
                 int8=int8,
+                attn_batch_chunk=attn_batch_chunk,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
                 dtype=dtype,

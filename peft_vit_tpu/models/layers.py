@@ -308,6 +308,7 @@ class MultiHeadAttention(nn.Module):
     use_flash: bool = True
     softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
     int8: bool = False  # int8 MXU GEMMs for in/out_proj (no-grad only)
+    attn_batch_chunk: int = 0  # lax.map attention slices (VMEM-resident)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -494,6 +495,7 @@ class MultiHeadAttention(nn.Module):
             # True = auto (kernel for long sequences, XLA otherwise)
             use_flash=None if self.use_flash else False,
             softmax_fp32=self.softmax_fp32,
+            batch_chunk=self.attn_batch_chunk,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
 
@@ -543,6 +545,7 @@ class Block(nn.Module):
     use_flash: bool = True
     softmax_fp32: bool = True
     int8: bool = False  # int8 GEMMs on no-grad forwards (TPU.INT8_INFERENCE)
+    attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK
     drop_path: float = 0.0
     ln_fp32: bool = True
     dtype: Dtype = jnp.float32
@@ -566,6 +569,7 @@ class Block(nn.Module):
             use_flash=self.use_flash,
             softmax_fp32=self.softmax_fp32,
             int8=int8,
+            attn_batch_chunk=self.attn_batch_chunk,
             name="attn",
             dtype=self.dtype,
             param_dtype=self.param_dtype,

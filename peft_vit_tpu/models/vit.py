@@ -61,6 +61,7 @@ class _BlockCell(nn.Module):
     remat: bool
     ln_fp32: bool
     int8: bool
+    attn_batch_chunk: int
     dtype: Dtype
     param_dtype: Dtype
 
@@ -81,6 +82,7 @@ class _BlockCell(nn.Module):
             use_flash=self.use_flash,
             softmax_fp32=self.softmax_fp32,
             int8=self.int8,
+            attn_batch_chunk=self.attn_batch_chunk,
             drop_path=0.0,
             ln_fp32=self.ln_fp32,
             name="block",
@@ -107,6 +109,7 @@ class VisionTransformer(nn.Module):
     ln_fp32: bool = True
     scan_layers: bool = False
     int8: bool = False  # int8 GEMMs on deterministic (no-grad) forwards
+    attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK: lax.map attention
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -260,6 +263,7 @@ class VisionTransformer(nn.Module):
                 self.remat,
                 self.ln_fp32,
                 self.int8,
+                self.attn_batch_chunk,
                 self.dtype,
                 self.param_dtype,
                 name="blocks",
@@ -302,6 +306,7 @@ class VisionTransformer(nn.Module):
                 use_flash=self.use_flash,
                 softmax_fp32=self.softmax_fp32,
                 int8=self.int8,
+                attn_batch_chunk=self.attn_batch_chunk,
                 drop_path=float(dpr[i]),
                 ln_fp32=self.ln_fp32,
                 name=f"blocks_{i}",

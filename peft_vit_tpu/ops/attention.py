@@ -554,12 +554,23 @@ def multi_head_attention(
     use_flash: Optional[bool] = None,
     interpret: bool = False,
     softmax_fp32: bool = True,
+    batch_chunk: int = 0,
 ) -> jax.Array:
     """Dispatching attention: Pallas flash kernel on TPU, jnp elsewhere.
 
     q, k, v: (B, H, N, D); bias: (H, N, N) additive, or None.
     softmax_fp32=False keeps scores in the compute dtype on the XLA path
     (TPU.BF16_SOFTMAX; the flash kernel always accumulates in fp32).
+
+    batch_chunk > 0 (TPU.ATTN_BATCH_CHUNK): compute the XLA attention in
+    ``lax.map`` slices of that batch size.  At B >= ~32 the fused
+    (B, H, N, N) score tensor spills VMEM and the attention chain scales
+    superlinearly (BASELINE.md round 2: 4x batch -> 13-18x attention
+    time); chunking keeps each slice's scores VMEM-resident so attention
+    scales linearly while every OTHER GEMM in the step sees the large-M
+    efficiency win (measured v5e MLP chain: 152 TF/s at M=3152 vs 183 at
+    M=12608).  The custom-VJP backward recomputes per slice, so the
+    backward chunks too.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -573,6 +584,26 @@ def multi_head_attention(
         use_flash = (
             jax.default_backend() == "tpu" and q.shape[-2] >= 2048
         )
+    b = q.shape[0]
+    if (
+        batch_chunk
+        and not use_flash
+        and bias is None
+        and b > batch_chunk
+        and b % batch_chunk == 0
+    ):
+        def slice_attn(args):
+            qc, kc, vc = args
+            return _attention(
+                qc, kc, vc, float(scale), False, interpret,
+                bool(softmax_fp32),
+            )
+
+        shaped = lambda t: t.reshape(
+            b // batch_chunk, batch_chunk, *t.shape[1:]
+        )
+        out = jax.lax.map(slice_attn, (shaped(q), shaped(k), shaped(v)))
+        return out.reshape(b, *out.shape[2:])
     if bias is None:
         return _attention(
             q, k, v, float(scale), bool(use_flash), interpret,
