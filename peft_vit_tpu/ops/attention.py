@@ -103,19 +103,22 @@ def _flash_fwd_kernel(
     npad = k_ref.shape[0]
     num_kb = npad // block_k
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # keep q/k/v in their storage dtype (bf16): the MXU runs bf16 x bf16
+    # -> fp32 at full rate, while fp32 x fp32 dots run ~4x slower — the
+    # round-2 kernel upcast before the dots and lost exactly that factor
+    q = q_ref[:]
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :]
 
         s = jax.lax.dot_general(
             q,
             k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK) fp32
         if has_bias:
             s = s + bias_ref[:, pl.ds(kb * block_k, block_k)].astype(
                 jnp.float32
@@ -130,7 +133,7 @@ def _flash_fwd_kernel(
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p,
+            p.astype(v_blk.dtype),  # bf16 for the MXU; acc stays fp32
             v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -161,6 +164,8 @@ def _flash_attention_fwd(
     npad = _round_up(n, max(block_q, block_k))
     block_q = min(block_q, npad)
     block_k = min(block_k, npad)
+    # head_dim pads to the 128-lane tile (Mosaic rejects 64-lane slices
+    # in this grid); the zero-lane qk/pv FLOPs are the cost of admission
     dpad = _round_up(d, 128)
 
     pad_n = npad - n
@@ -293,14 +298,14 @@ def _flash_bwd_dq_kernel(
     bq, d = q_ref.shape
     npad = k_ref.shape[0]
     num_kb = npad // block_k
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    q = q_ref[:]  # storage dtype (bf16): full-rate MXU dots
+    do = do_ref[:]
     lse = lse_ref[0, :][:, None]  # (BQ, 1)
     delta = delta_ref[0, :][:, None]
 
     def body(kb, acc):
-        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :]
         s = scale * jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -312,7 +317,7 @@ def _flash_bwd_dq_kernel(
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         return acc + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -331,15 +336,13 @@ def _flash_bwd_dkv_kernel(
     bk, d = k_ref.shape
     npad = q_ref.shape[0]
     num_qb = npad // block_q
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    k = k_ref[:]  # storage dtype (bf16): full-rate MXU dots
+    v = v_ref[:]
 
     def body(qb, carry):
         dk_acc, dv_acc = carry
-        q_blk = q_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[pl.ds(qb * block_q, block_q), :].astype(
-            jnp.float32
-        )
+        q_blk = q_ref[pl.ds(qb * block_q, block_q), :]
+        do_blk = do_ref[pl.ds(qb * block_q, block_q), :]
         lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
         delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
         s = scale * jax.lax.dot_general(
@@ -347,15 +350,16 @@ def _flash_bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )  # (BQ, BK)
         p = jnp.exp(s - lse_blk)
+        p_lo = p.astype(do_blk.dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
+            p_lo, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BK, D)
         dp = jax.lax.dot_general(
             do_blk, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta_blk)
+        ds = (p * (dp - delta_blk)).astype(q_blk.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
