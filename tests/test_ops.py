@@ -87,6 +87,33 @@ class TestFlashAttention:
         )(q)
         np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-3)
 
+    @pytest.mark.parametrize("b,h,n,d", [(2, 4, 197, 64), (1, 3, 50, 32)])
+    def test_fused_short_matches_reference(self, b, h, n, d):
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in ks)
+        ref = attention_reference(q, k, v)
+        out = multi_head_attention(q, k, v, use_fused=True, interpret=True)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_fused_short_gradients(self):
+        ks = jax.random.split(jax.random.PRNGKey(8), 3)
+        q, k, v = (jax.random.normal(kk, (2, 2, 67, 32)) for kk in ks)
+
+        def f(fn):
+            return jax.grad(
+                lambda q, k, v: jnp.sum(jnp.cos(fn(q, k, v))),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        g_new = f(
+            lambda q, k, v: multi_head_attention(
+                q, k, v, use_fused=True, interpret=True
+            )
+        )
+        g_ref = f(attention_reference)
+        for a, b_ in zip(g_new, g_ref):
+            np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-4)
+
     def test_causal_mask_equals_explicit(self):
         ks = jax.random.split(jax.random.PRNGKey(3), 3)
         q, k, v = (jax.random.normal(kk, (1, 2, 16, 8)) for kk in ks)
