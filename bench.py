@@ -4,10 +4,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
 Baseline (BASELINE.md north star): 3,000 images/sec/chip for ViT-B/16 LoRA
-fine-tuning on TPU v5e.  See BASELINE.md "Roofline" for why the bf16
-exact-compute ceiling on this part is ~2,080 img/s (71 GFLOP/img at the
-138 TF/s this chip delivers on ViT-shaped GEMM chains) and how the
-measured number sits against it.
+fine-tuning on TPU v5e.  See BASELINE.md: the step's large GEMM fusions
+run at 170-181 TF/s (86-92% of the 197 TF/s nominal bf16 peak — round-3
+per-fusion xprof), and the residual 13.7% is the measured small-shape
+tail (N=197 attention chains, two layout copies, softmax backward) for
+which every named lever was built and measured negative.  3,000 img/s
+implies 213 TF/s sustained at 71 GFLOP/img — above nominal peak; the
+headline number is this part's measured limit for exact bf16 compute.
 
 Configuration (all measured on v5e, see BASELINE.md):
 * bf16 fast path: attention scores (TPU.BF16_SOFTMAX) and LayerNorm

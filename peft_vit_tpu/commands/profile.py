@@ -1,0 +1,173 @@
+"""``pvt_profile`` — per-op device profile of a train/eval step.
+
+Reference analog: ``full_shot/main/tools/model_summary.py`` +
+lib/utils/modelsummary.py give static parameter/FLOP tables; the
+reference's dynamic cost answers come from the CUDA profiler.  On TPU
+the equivalent is a ``jax.profiler`` xplane capture summarized through
+xprof's op_profile: this command builds the configured model, runs a
+few real steps on the attached device, and prints per-category and
+per-fusion device time with MXU / HBM-bandwidth utilization.
+
+Usage::
+
+    pvt_profile --cfg experiments/vit.yaml --method lora --batch 16
+    pvt_profile --mode eval --batch 64
+    pvt_profile --xplane /tmp/trace/**/host.xplane.pb   # parse only
+
+The raw trace directory is always kept (``--logdir``) so it can be
+opened in TensorBoard/xprof for the full timeline view.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
+    """A self-syncing callable running ``k_chain`` train (or eval)
+    steps per dispatch on the configured model."""
+    from ..engine import ce_per_example, init_cell_state, sgd_update
+    from ..models.factory import build_image_classifier
+    from ..peft import (
+        build_mask,
+        merge_params,
+        spec_from_config,
+        split_params,
+    )
+
+    spec = spec_from_config(cfg)
+    num_classes = (
+        int(cfg.MODEL.NUM_CLASSES) or int(cfg.DATASET.NUM_CLASSES) or 100
+    )
+    model, variables, _ = build_image_classifier(
+        cfg, spec, max(num_classes, 2)
+    )
+    params = variables["params"]
+    num_layers = getattr(model.backbone, "layers", 12)
+    mask = build_mask(
+        params, method if method != "none" else "full", num_layers=num_layers
+    )
+    trainable, frozen = split_params(params, mask)
+
+    size = int(cfg.TRAIN.IMAGE_SIZE[0])
+    rng = np.random.RandomState(0)
+    dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+    x = jnp.asarray(
+        rng.randn(batch, size, size, 3).astype(np.float32), dtype
+    )
+    y = jnp.asarray(rng.randint(0, max(num_classes, 2), batch))
+
+    if mode == "eval":
+        # params enter as arguments, never as closed-over constants — a
+        # constant-folded weight tree bloats the serialized HLO by the
+        # model's full size (and overflows relay compile payloads)
+
+        @jax.jit
+        def eval_steps(p, x):
+            def body(c, _):
+                logits = model.apply({"params": p}, x, False)
+                return c + jnp.sum(logits.astype(jnp.float32)), None
+
+            c, _ = jax.lax.scan(
+                body, jnp.float32(0.0), None, length=k_chain
+            )
+            return c
+
+        return lambda: eval_steps(params, x)
+
+    def loss_fn(t, frozen, x, y):
+        p = merge_params(t, frozen)
+        logits = model.apply({"params": p}, x, True)
+        return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def train_steps(state, frozen, x, y):
+        def body(s, _):
+            loss, grads = grad_fn(s.trainable, frozen, x, y)
+            return sgd_update(grads, s, 1e-3, 1e-4), loss
+
+        state, losses = jax.lax.scan(body, state, None, length=k_chain)
+        return state, losses[-1]
+
+    state = init_cell_state(trainable)
+
+    def step():
+        nonlocal state
+        state, loss = train_steps(state, frozen, x, y)
+        return loss
+
+    return step
+
+
+def main(argv=None):
+    from ..config import get_default_config
+    from ..utils.xprof import (
+        capture_trace,
+        format_op_profile,
+        parse_op_profile,
+    )
+
+    p = argparse.ArgumentParser(
+        description="per-op TPU profile of a train/eval step"
+    )
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--method", default="lora")
+    p.add_argument("--mode", choices=["train", "eval"], default="train")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument(
+        "--k-chain",
+        type=int,
+        default=8,
+        help="steps per dispatch (amortizes dispatch latency)",
+    )
+    p.add_argument("--steps", type=int, default=3, help="traced dispatches")
+    p.add_argument("--logdir", default="/tmp/pvt_profile")
+    p.add_argument("--top", type=int, default=15)
+    p.add_argument(
+        "--xplane",
+        default=None,
+        help="parse an existing .xplane.pb instead of tracing",
+    )
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    args = p.parse_args(argv)
+
+    xplane = args.xplane
+    if xplane is None:
+        cfg = get_default_config()
+        if args.cfg:
+            cfg.merge_from_file(args.cfg)
+        if args.opts:
+            cfg.merge_from_list(args.opts)
+        cfg.freeze()
+        step = build_step(
+            cfg, args.method, args.batch, args.mode, args.k_chain
+        )
+        xplane = capture_trace(step, args.logdir, steps=args.steps)
+        if xplane is None:
+            print(
+                f"no xplane capture appeared under {args.logdir} — "
+                "the profiler produced no device plane on this backend"
+            )
+            return None
+        print(f"trace: {xplane}")
+    try:
+        profile = parse_op_profile(xplane)
+    except RuntimeError as e:
+        print(str(e))
+        return None
+    out = format_op_profile(profile, top=args.top)
+    print(out)
+    return profile
+
+
+if __name__ == "__main__":
+    main()

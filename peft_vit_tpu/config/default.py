@@ -58,6 +58,12 @@ _C["TPU"] = CN(
         # extraction, zero-shot, cached prefix (v5e: 394 TOPS s8 vs
         # 197 TF/s bf16); training forwards are never quantized
         "INT8_INFERENCE": False,
+        # patchify via dot_general over (p, q, c) instead of the strided
+        # conv.  Measured (BASELINE.md round-3): ties the conv on the
+        # LoRA train step and on int8 eval, loses ~5% on bf16 eval at
+        # B=256 — XLA's conv lowering is already near the form's limit,
+        # so this stays opt-in
+        "PATCH_EMBED_GEMM": False,
         # attention computed in lax.map slices of this batch size: at
         # B >= ~32 the fused score tensor spills VMEM; chunking keeps
         # attention linear in batch while the other GEMMs get large-M

@@ -161,6 +161,7 @@ def build_image_classifier(
     # forwards — feature extraction / zero-shot / cached-backbone prefix
     # (ops/int8.py); training forwards are untouched
     int8 = bool(cfg.TPU.get("INT8_INFERENCE", False))
+    patch_gemm = bool(cfg.TPU.get("PATCH_EMBED_GEMM", False))
     attn_batch_chunk = int(cfg.TPU.get("ATTN_BATCH_CHUNK", 0))
 
     sd = None
@@ -216,6 +217,7 @@ def build_image_classifier(
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
                 int8=int8,
+                patch_gemm=patch_gemm,
                 attn_batch_chunk=attn_batch_chunk,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
@@ -345,6 +347,7 @@ def build_image_classifier(
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
                 int8=int8,
+                patch_gemm=patch_gemm,
                 attn_batch_chunk=attn_batch_chunk,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),

@@ -92,6 +92,56 @@ class _BlockCell(nn.Module):
         return x, None
 
 
+class _PatchEmbedGEMM(nn.Module):
+    """Patchify as an MXU GEMM (TPU.PATCH_EMBED_GEMM).
+
+    XLA lowers the strided patch conv with C_in=3 onto the MXU at ~18
+    TF/s (3 of 128 lanes carry data) plus a layout copy of the input
+    image — together ~7% of the LoRA train step at B=16 (BASELINE.md
+    round-3 xprof).  The same contraction expressed as a dot_general
+    over the (patch, patch, C) axes is a K=patch*patch*C GEMM — a
+    shape the MXU runs at full rate.  Param tree is identical to the
+    conv module ("kernel" (P, P, C, width), optional "bias"), so
+    checkpoints and converters see no difference.
+    """
+
+    width: int
+    patch: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        p = self.patch
+        gh, gw = hh // p, ww // p
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c, self.width),
+            self.param_dtype,
+        )
+        xp = x.reshape(b, gh, p, gw, p, c)
+        # contract (p, q, c) directly — no host-visible transpose; XLA
+        # feeds the MXU with strided tiles instead of materializing the
+        # (B, gh, gw, p, p, c) permutation
+        out = jax.lax.dot_general(
+            xp,
+            kernel.astype(self.dtype),
+            (((2, 4, 5), (0, 1, 2)), ((), ())),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.initializers.zeros,
+                (self.width,),
+                self.param_dtype,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class VisionTransformer(nn.Module):
     image_size: int = 224
     patch_size: int = 16
@@ -109,6 +159,7 @@ class VisionTransformer(nn.Module):
     ln_fp32: bool = True
     scan_layers: bool = False
     int8: bool = False  # int8 GEMMs on deterministic (no-grad) forwards
+    patch_gemm: bool = False  # TPU.PATCH_EMBED_GEMM: patchify via MXU GEMM
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK: lax.map attention
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -160,16 +211,26 @@ class VisionTransformer(nn.Module):
             )
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            w,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            use_bias=self.style != "clip",
-            padding="VALID",
-            name="conv1",
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        if self.patch_gemm:
+            x = _PatchEmbedGEMM(
+                w,
+                patch=self.patch_size,
+                use_bias=self.style != "clip",
+                name="conv1",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
+        else:
+            x = nn.Conv(
+                w,
+                kernel_size=(self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                use_bias=self.style != "clip",
+                padding="VALID",
+                name="conv1",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         x = x.reshape(b, g * g, w)
 
         cls_init = (
