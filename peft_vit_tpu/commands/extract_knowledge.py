@@ -17,6 +17,7 @@ Output: ``{GPT3_DICT_PATH|WIKI_DICT_PATH}/{dataset}_knowledge.json`` with
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import logging
 import os
@@ -117,12 +118,14 @@ def wiktionary_knowledge(
     return {"wiki": meaning} if meaning else {}
 
 
+@functools.lru_cache(maxsize=1)
 def gpt3_corpus() -> Dict:
     """The reference tool's constant data, ported verbatim as a resource
     (resources/knowledge/gpt3_corpus.json): the 22-dataset batch list
     (extract_knowledge.py:42), the ODinW class list (:692), the ODinW
     benchmark dataset list (:1128), and the exact prompt format /
-    decoding parameters of ask_gpt3 (:120-149)."""
+    decoding parameters of ask_gpt3 (:120-149).  Cached: callers build
+    one prompt per classname and must not re-parse the JSON each time."""
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "resources",

@@ -148,18 +148,18 @@ def train_main(cfg) -> float:
     )
 
     if streaming:
-        if k_disp > 1:
-            # scan mode: the source yields pre-chunked (K, B, ...) host
-            # arrays; the Trainer does ONE transfer + dispatch per chunk.
-            # host_prefetch keeps the native decode ring draining while
-            # the consumer blocks on the device
-            from ..data.streaming import host_prefetch
+        # host batches only: the Trainer's own _device_prefetch stage does
+        # the (mesh-sharded) device placement — putting them on a device
+        # here would commit each batch to device 0 and force a second
+        # device-to-device copy.  host_prefetch keeps the native decode
+        # ring draining while the consumer blocks on the device.  In scan
+        # mode (k_disp > 1) the source yields pre-chunked (K, B, ...)
+        # arrays and the Trainer does ONE transfer + dispatch per chunk.
+        from ..data.streaming import host_prefetch
 
-            train_batches = lambda e: host_prefetch(
-                train_src.batches(e), depth=2
-            )
-        else:
-            train_batches = train_src.device_batches
+        train_batches = lambda e: host_prefetch(
+            train_src.batches(e), depth=2
+        )
         if eval_src is not None:
             eval_batches = lambda: eval_src.device_batches(0)
         else:

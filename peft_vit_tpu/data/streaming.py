@@ -226,6 +226,14 @@ class StreamingSource:
                 np.arange(n_global), self.process_index, self.process_count
             )
         )
+        if self.train and self.process_count > 1:
+            # every jitted train step is a global collective (the batch is
+            # assembled with make_array_from_process_local_data), so ALL
+            # processes must emit IDENTICAL batch counts.  shard_order
+            # stripes differ by up to 1 sample; truncate every process to
+            # the minimum stripe so batch sequences stay in lockstep — the
+            # analog of DistributedSampler's drop-to-equal behavior.
+            self.samples_this_process = n_global // self.process_count
         # drop_last operates at B granularity: full K*B chunks are scanned,
         # and the epoch tail (< K full batches) is emitted as single
         # batches — a small dataset must not silently yield zero batches
@@ -278,6 +286,10 @@ class StreamingSource:
             order = shard_order(
                 order, self.process_index, self.process_count
             )
+            if self.process_count > 1:
+                # lockstep with other processes: equal-length orders give
+                # identical chunk/tail sequences (see __init__)
+                order = order[: self.n_global // self.process_count]
             rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
             big = self.batch * self.chunk
             for x, y, count in self.loader.epoch(epoch, order=order):

@@ -276,7 +276,9 @@ def _flash_attention_fwd(
     )(*args)
     if return_lse:
         out, lse = res
-        return out[:, :, :n, :d], lse
+        # trim lse to the logical n like out — the backward re-pads to
+        # npad; returning it untrimmed would make that pad oversize
+        return out[:, :, :n, :d], lse[:, :, :, :n]
     return res[:, :, :n, :d]
 
 
@@ -625,7 +627,9 @@ def _fused_short_fwd(
     )(*args)
     if return_lse:
         out, lse = res
-        return out[:, :, :n], lse
+        # trim to logical n (see _flash_fwd): the backward pads back to
+        # npad and its row BlockSpec is exactly (1, h, 1, npad)
+        return out[:, :, :n], lse[:, :, :, :n]
     return res[:, :, :n]
 
 

@@ -42,11 +42,11 @@ def main():
     from peft_vit_tpu.data.samplers import default_order, shard_order
     from peft_vit_tpu.parallel.collectives import allgather_ragged, host_allgather
 
-    order = default_order(48, epoch=0, seed=3)
+    order = default_order(47, epoch=0, seed=3)
     mine = shard_order(order, rank, world)
-    allshards = host_allgather(np.sort(mine))
+    allshards = allgather_ragged(np.sort(mine))  # ragged: 24 vs 23
     merged = sorted(np.asarray(allshards).reshape(-1).tolist())
-    assert merged == list(range(48)), "shards must be disjoint + covering"
+    assert merged == list(range(47)), "shards must be disjoint + covering"
 
     # --- streaming trainer over the global mesh ---------------------------
     from peft_vit_tpu.commands.train import train_main
@@ -78,15 +78,27 @@ def main():
     cfg.NAME = "mhrun"
     cfg.freeze()
 
-    # eval is process-sharded: each host decodes only its stripe
+    # eval is process-sharded: each host decodes only its stripe; with
+    # 47 rows the stripes are ragged (24 vs 23) but must cover the set
     from peft_vit_tpu.data.streaming import StreamingSource
 
     src = StreamingSource(cfg, "test", normalize=False)
     n_local = sum(len(y) for _, y in src.batches())
     src.close()
-    assert n_local == 48 // world, (n_local, world)
+    assert n_local in (47 // world, 47 // world + 1), (n_local, world)
     n_total = int(np.sum(host_allgather(np.asarray([n_local]))))
-    assert n_total == 48, n_total
+    assert n_total == 47, n_total
+
+    # train batches must be in LOCKSTEP across processes (unequal counts
+    # deadlock the global-collective train step): the min-stripe
+    # truncation must equalize the ragged 24/23 shard
+    src_tr = StreamingSource(
+        cfg, "train", normalize=False, batch_multiplier=2
+    )
+    n_items = sum(1 for _ in src_tr.batches(0))
+    src_tr.close()
+    item_counts = host_allgather(np.asarray([n_items]))
+    assert np.unique(np.asarray(item_counts)).size == 1, item_counts
 
     # ragged gather reassembles per-process shards in process order
     frag = np.full((rank + 1, 2), rank, np.float32)

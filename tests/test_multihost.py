@@ -47,7 +47,11 @@ def test_two_process_streaming_trainer(tmp_path):
     pytest.importorskip("PIL")
     rng = np.random.RandomState(0)
     rows = []
-    for i in range(48):
+    # 47 rows — deliberately NOT divisible by the 2 processes: shard
+    # stripes are 24 vs 23, exercising the min-stripe truncation that
+    # keeps per-process train batch counts in lockstep (every jitted
+    # train step is a global collective; unequal counts would deadlock)
+    for i in range(47):
         c = i % 4
         im = rng.randint(0, 40, (20, 20, 3)).astype(np.uint8)
         im[c * 5 : (c + 1) * 5] += 180

@@ -114,6 +114,38 @@ class TestFlashAttention:
         for a, b_ in zip(g_new, g_ref):
             np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-4)
 
+    def test_batch_chunk_matches_reference(self):
+        """TPU.ATTN_BATCH_CHUNK: the lax.map-sliced path must be exact in
+        forward AND gradient (the custom recompute backward chunks too)."""
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q, k, v = (jax.random.normal(kk, (8, 2, 33, 16)) for kk in ks)
+        ref = attention_reference(q, k, v)
+        out = multi_head_attention(q, k, v, use_flash=False, batch_chunk=2)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+        def g(fn):
+            return jax.grad(
+                lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v))),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        g_chunk = g(
+            lambda q, k, v: multi_head_attention(
+                q, k, v, use_flash=False, batch_chunk=4
+            )
+        )
+        g_ref = g(attention_reference)
+        for a, b_ in zip(g_chunk, g_ref):
+            np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-4)
+
+    def test_batch_chunk_falls_through_on_indivisible_batch(self):
+        ks = jax.random.split(jax.random.PRNGKey(12), 3)
+        q, k, v = (jax.random.normal(kk, (3, 2, 17, 8)) for kk in ks)
+        out = multi_head_attention(q, k, v, use_flash=False, batch_chunk=2)
+        np.testing.assert_allclose(
+            out, attention_reference(q, k, v), atol=1e-5, rtol=1e-5
+        )
+
     def test_causal_mask_equals_explicit(self):
         ks = jax.random.split(jax.random.PRNGKey(3), 3)
         q, k, v = (jax.random.normal(kk, (1, 2, 16, 8)) for kk in ks)
