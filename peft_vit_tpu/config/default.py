@@ -72,6 +72,13 @@ _C["TPU"] = CN(
         # background device_put of the next chunk while the current one
         # computes (depth of the transfer pipeline; 0 disables)
         "PREFETCH_DEPTH": 2,
+        # Megatron-style sequence parallelism: shard the (B, N, C)
+        # inter-block activations P(data, model, None) so norms/residual
+        # adds run token-sharded over the tensor axis (GSPMD inserts the
+        # all-gather / reduce-scatter pairs around attention and MLP).
+        # Only meaningful on a mesh with a model axis > 1; the model must
+        # be traced under the mesh context
+        "SEQUENCE_PARALLEL": False,
     },
     new_allowed=True,
 )

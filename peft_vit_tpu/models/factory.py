@@ -162,6 +162,14 @@ def build_image_classifier(
     # (ops/int8.py); training forwards are untouched
     int8 = bool(cfg.TPU.get("INT8_INFERENCE", False))
     patch_gemm = bool(cfg.TPU.get("PATCH_EMBED_GEMM", False))
+    act_sharding = None
+    if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
+        from jax.sharding import PartitionSpec
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        # token axis sharded over the tensor axis between blocks; the
+        # caller must trace the step under the mesh context
+        act_sharding = PartitionSpec(DATA_AXIS, MODEL_AXIS, None)
     attn_batch_chunk = int(cfg.TPU.get("ATTN_BATCH_CHUNK", 0))
 
     sd = None
@@ -218,6 +226,7 @@ def build_image_classifier(
                 ln_fp32=ln_fp32,
                 int8=int8,
                 patch_gemm=patch_gemm,
+                act_sharding=act_sharding,
                 attn_batch_chunk=attn_batch_chunk,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),
@@ -348,6 +357,7 @@ def build_image_classifier(
                 ln_fp32=ln_fp32,
                 int8=int8,
                 patch_gemm=patch_gemm,
+                act_sharding=act_sharding,
                 attn_batch_chunk=attn_batch_chunk,
                 remat=bool(cfg.TPU.REMAT),
                 scan_layers=bool(cfg.TPU.get("SCAN_LAYERS", False)),

@@ -161,8 +161,20 @@ class VisionTransformer(nn.Module):
     int8: bool = False  # int8 GEMMs on deterministic (no-grad) forwards
     patch_gemm: bool = False  # TPU.PATCH_EMBED_GEMM: patchify via MXU GEMM
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK: lax.map attention
+    # TPU.SEQUENCE_PARALLEL: a PartitionSpec for the (B, N, C) inter-block
+    # activations, e.g. P("data", "model", None) — Megatron-style sequence
+    # parallelism: norms / residual adds / dropout run token-sharded over
+    # the tensor axis, and GSPMD inserts the all-gather before attention's
+    # QKV matmul and the reduce-scatter after the output projection (the
+    # scaling-book recipe; requires tracing under a mesh context).
+    act_sharding: Optional[Any] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _constrain(self, x: jax.Array) -> jax.Array:
+        if self.act_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.act_sharding)
 
     def _can_scan(self, start_layer: int, stop_layer) -> bool:
         spec = self.spec
@@ -276,6 +288,7 @@ class VisionTransformer(nn.Module):
             x = jnp.concatenate([x[:, :1], pr, x[:, 1:]], axis=1)
             n_prefix = 1 + num_prompts
 
+        x = self._constrain(x)
         if self.style == "clip":
             x = LayerNorm(
                 name="ln_pre",
@@ -329,7 +342,7 @@ class VisionTransformer(nn.Module):
                 self.param_dtype,
                 name="blocks",
             )(x, deterministic)
-            return self._head(x, return_tokens)
+            return self._head(self._constrain(x), return_tokens)
 
         deep_prompts = None
         if num_prompts > 0 and spec.prompt_deep and self.layers > 1:
@@ -374,6 +387,9 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(x, deterministic)
+            # sequence-parallel boundary: back to token-sharded after the
+            # block's reduce-scatter point
+            x = self._constrain(x)
 
         if stop_layer is not None:
             return x

@@ -125,6 +125,55 @@ class TestShardedTraining:
             float(loss_sharded), loss_ref, rtol=1e-5
         )
 
+    def test_sequence_parallel_matches_unsharded(self):
+        """TPU.SEQUENCE_PARALLEL: constraining the inter-block (B, N, C)
+        activations to P(data, model, None) is purely a layout directive —
+        the loss must match the unconstrained model bit-for-bit (GSPMD
+        inserts the gather/reduce-scatter pairs; token count 10 = 3x3
+        grid + cls divides the model axis)."""
+        spec = PEFTSpec(method="lora", attn_delta="lora", lora_rank=2)
+
+        def build(act_sharding):
+            vit = VisionTransformer(
+                image_size=48, patch_size=16, width=64, layers=2,
+                heads=4, style="clip", output_dim=32, spec=spec,
+                use_flash=False, act_sharding=act_sharding,
+            )
+            return ImageClassifier(backbone=vit, num_classes=8)
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 48, 48, 3))
+        y = jnp.arange(16) % 8
+        ref_model = build(None)
+        params = ref_model.init(jax.random.PRNGKey(0), x)["params"]
+        mask = build_mask(params, "lora", num_layers=2)
+        trainable, frozen = split_params(params, mask)
+        mesh = make_mesh(data=4, model=2)
+
+        losses = {}
+        for name, model in (
+            ("plain", ref_model),
+            ("seqpar", build(P("data", "model", None))),
+        ):
+            step, place = make_sharded_train_step(
+                lambda v, xx, t, m=model: m.apply(v, xx, t),
+                ce_per_example,
+                mesh,
+            )
+            # fresh buffers per run: the donated step may alias (and
+            # delete) the placed arrays when device_put is a no-op
+            tr = jax.tree_util.tree_map(jnp.array, trainable)
+            fr = jax.tree_util.tree_map(jnp.array, frozen)
+            with jax.set_mesh(mesh):
+                state, frozen_p = place(init_cell_state(tr), fr)
+                _, loss = step(
+                    state, frozen_p, x, y,
+                    jnp.float32(1e-2), jnp.float32(0.0),
+                )
+                losses[name] = float(loss)
+        np.testing.assert_allclose(
+            losses["seqpar"], losses["plain"], rtol=1e-6
+        )
+
     def test_zero1_optimizer_sharding_matches(self):
         """ZeRO-1 momentum sharding over the data axis must be
         numerically identical to the replicated-optimizer step."""
