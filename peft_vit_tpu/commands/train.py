@@ -113,6 +113,15 @@ def train_main(cfg) -> float:
         num_classes = splits.num_classes
         train_src = eval_src = None
 
+    if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
+        # the model embeds bare-PartitionSpec sharding constraints
+        # (models/vit.py act_sharding); every trace — init here, the
+        # Trainer's jitted steps later — must resolve them against a
+        # mesh, so install it globally before building the model
+        from ..parallel import mesh_from_config
+
+        jax.set_mesh(mesh_from_config(cfg))
+
     model, variables, _ = build_image_classifier(cfg, spec, num_classes)
     params = variables["params"]
 

@@ -165,11 +165,15 @@ def build_image_classifier(
     act_sharding = None
     if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
         from jax.sharding import PartitionSpec
-        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from ..parallel.mesh import MODEL_AXIS
 
-        # token axis sharded over the tensor axis between blocks; the
-        # caller must trace the step under the mesh context
-        act_sharding = PartitionSpec(DATA_AXIS, MODEL_AXIS, None)
+        # token axis sharded over the tensor axis between blocks; batch
+        # stays UNCONSTRAINED so propagation keeps it data-sharded (and
+        # B=1 init traces don't demand divisibility).  The caller must
+        # trace under the mesh context (jax.set_mesh)
+        act_sharding = PartitionSpec(
+            PartitionSpec.UNCONSTRAINED, MODEL_AXIS, None
+        )
     attn_batch_chunk = int(cfg.TPU.get("ATTN_BATCH_CHUNK", 0))
 
     sd = None

@@ -152,7 +152,7 @@ class TestShardedTraining:
         losses = {}
         for name, model in (
             ("plain", ref_model),
-            ("seqpar", build(P("data", "model", None))),
+            ("seqpar", build(P(P.UNCONSTRAINED, "model", None))),
         ):
             step, place = make_sharded_train_step(
                 lambda v, xx, t, m=model: m.apply(v, xx, t),

@@ -454,6 +454,61 @@ class TestZero1Trainer:
         assert any(DATA_AXIS in str(s) for s in sharded), sharded
 
 
+class TestSequenceParallelTrainer:
+    """TPU.SEQUENCE_PARALLEL through the full-shot Trainer: the model's
+    bare-PartitionSpec activation constraints resolve against the global
+    mesh installed by jax.set_mesh (commands/train.py wiring), and the
+    loss matches the unconstrained model."""
+
+    def test_seqpar_trainer_matches_plain(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from jax.sharding import PartitionSpec as P
+        from peft_vit_tpu.parallel import make_mesh
+
+        # 24/8 -> 3x3 grid + cls = 10 tokens, divisible by model=2
+        def build(act_sharding):
+            vit = VisionTransformer(
+                image_size=24, patch_size=8, width=32, layers=2,
+                heads=2, style="timm", spec=PEFTSpec(),
+                use_flash=False, act_sharding=act_sharding,
+            )
+            return ImageClassifier(backbone=vit, num_classes=4)
+
+        x, y = synthetic_dataset(4, 24, 24)
+        x = x.astype(np.float32) / 255.0
+        mesh = make_mesh(data=4, model=2)
+        cfg = make_cfg(**{
+            "TRAIN.IMAGE_SIZE": [24, 24],
+            "TRAIN.LR": 0.05,
+            "TRAIN.LR_SCHEDULER.METHOD": "constant",
+        })
+
+        losses = {}
+        with jax.set_mesh(mesh):
+            for name, sharding in (
+                ("plain", None),
+                ("seqpar", P(P.UNCONSTRAINED, "model", None)),
+            ):
+                model = build(sharding)
+                params = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3))
+                )["params"]
+                mask = build_mask(params, "full", num_layers=2)
+                tr = Trainer(
+                    cfg, model, params, mask, steps_per_epoch=8,
+                    mesh=mesh, rng=jax.random.PRNGKey(7),
+                )
+                s = tr.train_one_epoch(
+                    batch_iterator(x, y, 8, seed=0), epoch=0
+                )
+                losses[name] = s["loss"]
+        assert np.isfinite(losses["seqpar"])
+        np.testing.assert_allclose(
+            losses["seqpar"], losses["plain"], rtol=1e-4
+        )
+
+
 class TestScanModeWithMesh:
     """TPU.STEPS_PER_DISPATCH under a data-parallel mesh: the (K, B, ...)
     chunk shards its batch axis (axis 1) over the data axis."""
