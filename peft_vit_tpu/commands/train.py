@@ -113,15 +113,9 @@ def train_main(cfg) -> float:
         num_classes = splits.num_classes
         train_src = eval_src = None
 
-    if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
-        # the model embeds bare-PartitionSpec sharding constraints
-        # (models/vit.py act_sharding); every trace — init here, the
-        # Trainer's jitted steps later — must resolve them against a
-        # mesh, so install it globally before building the model
-        from ..parallel import mesh_from_config
-
-        jax.set_mesh(mesh_from_config(cfg))
-
+    # (TPU.SEQUENCE_PARALLEL: the factory installs the config mesh
+    # globally before init so the model's bare-spec activation
+    # constraints resolve in every later trace, including the Trainer's)
     model, variables, _ = build_image_classifier(cfg, spec, num_classes)
     params = variables["params"]
 

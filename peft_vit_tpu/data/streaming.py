@@ -288,8 +288,9 @@ class StreamingSource:
             )
             if self.process_count > 1:
                 # lockstep with other processes: equal-length orders give
-                # identical chunk/tail sequences (see __init__)
-                order = order[: self.n_global // self.process_count]
+                # identical chunk/tail sequences (samples_this_process is
+                # the min stripe, computed once in __init__)
+                order = order[: self.samples_this_process]
             rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
             big = self.batch * self.chunk
             for x, y, count in self.loader.epoch(epoch, order=order):

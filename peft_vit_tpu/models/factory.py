@@ -165,12 +165,17 @@ def build_image_classifier(
     act_sharding = None
     if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
         from jax.sharding import PartitionSpec
-        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.mesh import MODEL_AXIS, mesh_from_config
 
         # token axis sharded over the tensor axis between blocks; batch
         # stays UNCONSTRAINED so propagation keeps it data-sharded (and
-        # B=1 init traces don't demand divisibility).  The caller must
-        # trace under the mesh context (jax.set_mesh)
+        # B=1 init traces don't demand divisibility).  Bare-spec
+        # constraints need a mesh in context for EVERY trace — the init
+        # below and any jitted step the caller builds later — so the
+        # config mesh is installed globally here (process-local,
+        # deliberate: scoping it would break later traces; a context
+        # mesh only affects bare-spec APIs, which nothing else uses)
+        jax.set_mesh(mesh_from_config(cfg))
         act_sharding = PartitionSpec(
             PartitionSpec.UNCONSTRAINED, MODEL_AXIS, None
         )

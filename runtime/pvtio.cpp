@@ -28,6 +28,7 @@
 #include <png.h>
 #include <zlib.h>
 
+#include <fcntl.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -427,15 +428,18 @@ void* pvtio_loader_create_files(const char** file_paths,
   L->shuffle = shuffle != 0;
   L->seed = seed;
   L->raw_mode = 1;
-  // stat()+access() (two fd-less syscalls) instead of fopen/fseek/ftell/
-  // fclose: on >1M-file ImageFolder trees the open-per-file probe added
-  // minutes of single-threaded startup before the first batch.  access()
-  // keeps the old probe's readability semantics — an unreadable file must
-  // be dropped at index time, not decoded to a zeroed image at train time
+  // stat()+faccessat() (two fd-less syscalls) instead of fopen/fseek/
+  // ftell/fclose: on >1M-file ImageFolder trees the open-per-file probe
+  // added minutes of single-threaded startup before the first batch.
+  // The readability probe keeps the old fopen semantics — an unreadable
+  // file must be dropped at index time, not decoded to a zeroed image
+  // at train time; AT_EACCESS checks with the EFFECTIVE uid like fopen
+  // does (plain access() uses the real uid and diverges under setuid)
   for (int64_t i = 0; i < n; i++) {
     struct stat st;
     if (stat(file_paths[i], &st) != 0 || !S_ISREG(st.st_mode) ||
-        st.st_size <= 0 || access(file_paths[i], R_OK) != 0)
+        st.st_size <= 0 ||
+        faccessat(AT_FDCWD, file_paths[i], R_OK, AT_EACCESS) != 0)
       continue;
     L->samples.push_back({file_paths[i], 0, (size_t)st.st_size, labels[i]});
   }
