@@ -15,6 +15,7 @@ from .convert import (
     unstack_flat_blocks,
 )
 from .factory import build_image_classifier, init_head_from_text
+from .registry import get_custom_builder, register_model
 from .hrnet import HRNet
 from .resnet import (
     FrozenBatchNorm,
@@ -49,6 +50,8 @@ __all__ = [
     "TextTransformer",
     "ConvViT",
     "VisionTransformer",
+    "get_custom_builder",
+    "register_model",
     "build_ssl_swin",
     "extract_n_last_blocks",
     "multi_crop_forward",

@@ -146,6 +146,17 @@ def build_image_classifier(
     grafted with converted weights (PEFT leaves stay fresh).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    # custom-model hook (the reference's get_cls_model / get_zeroshot_model
+    # extension contract, cls_example.py:4-17 / clip_example.py:4-23):
+    # a registered name or module:function path owns the whole build
+    from .registry import get_custom_builder
+
+    custom = get_custom_builder(str(cfg.MODEL.NAME))
+    if custom is not None:
+        logger.info("=> custom model builder for %s", cfg.MODEL.NAME)
+        return custom(cfg, spec, num_classes, rng)
+
     dtype = _dtype(cfg)
     size = int(cfg.TRAIN.IMAGE_SIZE[0])
     use_flash = bool(cfg.TPU.FLASH_ATTENTION) and (

@@ -164,3 +164,62 @@ class TestSummary:
         x = jnp.zeros((64, 64))
         fl = flops_of(f, x)
         assert fl >= 2 * 64**3 * 0.9
+
+
+# --- custom-model extension contract --------------------------------------
+
+
+def _tiny_custom_builder(cfg, spec, num_classes, rng):
+    """module:function-path builder (see class below for the decorator
+    form) — the TPU analog of the reference's get_cls_model contract
+    (models/cls_example.py:4-17)."""
+    from flax import linen as nn
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = x.reshape(x.shape[0], -1)
+            return nn.Dense(num_classes)(x)
+
+    model = TinyNet()
+    size = int(cfg.TRAIN.IMAGE_SIZE[0])
+    variables = model.init(rng, jnp.zeros((1, size, size, 3)))
+    return model, variables, None
+
+
+class TestCustomModelRegistry:
+    def _cfg(self, name):
+        from peft_vit_tpu.config import get_default_config
+
+        cfg = get_default_config()
+        cfg.MODEL.NAME = name
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        cfg.freeze()
+        return cfg
+
+    def test_registered_builder_owns_the_build(self):
+        from peft_vit_tpu.models import build_image_classifier, register_model
+
+        @register_model("tiny_custom_net")
+        def build(cfg, spec, num_classes, rng):
+            return _tiny_custom_builder(cfg, spec, num_classes, rng)
+
+        cfg = self._cfg("tiny_custom_net")
+        model, variables, enc = build_image_classifier(cfg, PEFTSpec(), 7)
+        assert enc is None
+        out = model.apply(variables, jnp.zeros((2, 16, 16, 3)))
+        assert out.shape == (2, 7)
+
+    def test_module_path_builder(self):
+        from peft_vit_tpu.models import build_image_classifier
+
+        cfg = self._cfg("test_models_extra:_tiny_custom_builder")
+        model, variables, _ = build_image_classifier(cfg, PEFTSpec(), 3)
+        out = model.apply(variables, jnp.zeros((2, 16, 16, 3)))
+        assert out.shape == (2, 3)
+
+    def test_builtin_names_fall_through(self):
+        from peft_vit_tpu.models.registry import get_custom_builder
+
+        assert get_custom_builder("clip_vitb16") is None
+        assert get_custom_builder("cls_swin") is None
