@@ -148,6 +148,66 @@ def gen_adapter_double_mlp(seed=1, b=2, n=5, d=16, h=4, ad=8):
     print("adapter_double_mlp:", out.shape, float(out.abs().mean()))
 
 
+def gen_compacter_phm_adapter(seed=2, b=2, n=5, d=16, red=4, pd_dn=4, pd_up=2):
+    """HyperComplexAdapter (compacter_model.py:358-427): LN ->
+    PHM down -> gelu_new -> PHM up, + residual.  Pins the PHM semantics:
+    H = sum_i kron(phm_rule_i, W_i) with the RULE as the LEFT kron factor
+    (kronecker_product_einsum_batched(phm_rule, W), :176-208), gelu_new =
+    the tanh approximation, and the asymmetric down/up phm_dims."""
+    g = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g, dtype=torch.float32) * 0.2
+
+    down = d // red
+    x = rand(b, n, d)
+    ln_w, ln_b = rand(d) + 1.0, rand(d)
+    rule_dn = rand(pd_dn, pd_dn, pd_dn)
+    w_dn = rand(pd_dn, d // pd_dn, down // pd_dn)
+    b_dn = rand(down)
+    rule_up = rand(pd_up, pd_up, pd_up)
+    w_up = rand(pd_up, down // pd_up, d // pd_up)
+    b_up = rand(d)
+
+    def ln(t, w, bias):
+        mu = t.mean(-1, keepdim=True)
+        var = t.var(-1, unbiased=False, keepdim=True)
+        return (t - mu) / torch.sqrt(var + 1e-5) * w + bias
+
+    def kron_sum(rule, w):
+        # kronecker_product_einsum_batched(phm_rule, W).sum(0) (:184-201)
+        return torch.einsum("bac,bkp->bakcp", rule, w).reshape(
+            rule.shape[0], rule.shape[1] * w.shape[1],
+            rule.shape[2] * w.shape[2],
+        ).sum(0)
+
+    def gelu_new(t):
+        return (
+            0.5 * t * (1.0 + torch.tanh(
+                (2.0 / torch.pi) ** 0.5 * (t + 0.044715 * t**3)
+            ))
+        )
+
+    z = ln(x, ln_w, ln_b)
+    z = z @ kron_sum(rule_dn, w_dn) + b_dn
+    z = gelu_new(z)
+    out = z @ kron_sum(rule_up, w_up) + b_up + x
+
+    np.savez(
+        os.path.join(HERE, "compacter_phm_adapter.npz"),
+        x=x.numpy(),
+        ln_w=ln_w.numpy(), ln_b=ln_b.numpy(),
+        rule_dn=rule_dn.numpy(), w_dn=w_dn.numpy(), b_dn=b_dn.numpy(),
+        rule_up=rule_up.numpy(), w_up=w_up.numpy(), b_up=b_up.numpy(),
+        out=out.numpy(),
+        reduction=np.asarray(red),
+        phm_dim_down=np.asarray(pd_dn),
+        phm_dim_up=np.asarray(pd_up),
+    )
+    print("compacter_phm_adapter:", out.shape, float(out.abs().mean()))
+
+
 if __name__ == "__main__":
     gen_lora_post_scale_q()
     gen_adapter_double_mlp()
+    gen_compacter_phm_adapter()

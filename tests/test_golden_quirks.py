@@ -111,3 +111,41 @@ class TestGoldenQuirks:
         np.testing.assert_allclose(
             np.asarray(out), g["out"], rtol=1e-5, atol=1e-5
         )
+
+
+class TestCompacterGolden:
+    def test_compacter_phm_adapter(self):
+        """PHM semantics pinned against the independent torch golden:
+        H = sum_i kron(rule_i, W_i) with the rule as the LEFT factor
+        (compacter_model.py:176-208), gelu_new tanh approximation, and
+        the asymmetric down/up phm_dims of HyperComplexAdapter."""
+        from peft_vit_tpu.models.layers import CompacterAdapter
+
+        g = np.load(os.path.join(GOLDEN, "compacter_phm_adapter.npz"))
+        d = g["x"].shape[-1]
+        m = CompacterAdapter(
+            d,
+            reduction=int(g["reduction"]),
+            phm_dim_down=int(g["phm_dim_down"]),
+            phm_dim_up=int(g["phm_dim_up"]),
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(g["x"]))[
+            "params"
+        ]
+        params = _set(
+            params,
+            {
+                "adapter_norm_before/scale": g["ln_w"],
+                "adapter_norm_before/bias": g["ln_b"],
+                "down_phm/W": g["w_dn"],
+                "down_phm/phm_rule": g["rule_dn"],
+                "down_phm/b": g["b_dn"],
+                "up_phm/W": g["w_up"],
+                "up_phm/phm_rule": g["rule_up"],
+                "up_phm/b": g["b_up"],
+            },
+        )
+        out = m.apply({"params": params}, jnp.asarray(g["x"]))
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], atol=1e-5, rtol=1e-4
+        )
