@@ -207,7 +207,66 @@ def gen_compacter_phm_adapter(seed=2, b=2, n=5, d=16, red=4, pd_dn=4, pd_up=2):
     print("compacter_phm_adapter:", out.shape, float(out.abs().mean()))
 
 
+def gen_kadaptation_kron_attn(seed=3, b=2, n=5, d=16, h=4, pn=4, rank=2):
+    """KAdaptation attention deltas (kadaptation.py:190-230): the q/v
+    deltas are PHM products with a SHARED phm_rule and rank-factorized
+    per-slot weights W_i = W_left_i @ W_right_i (bmm, :211-212); the
+    delta enters q BEFORE the 1/sqrt(hd) scale (supervised pre-scale,
+    :216-224), and matvec's bias is commented out (:100-101) so phmb is
+    a dead parameter."""
+    g = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g, dtype=torch.float32) * 0.2
+
+    x = rand(b, n, d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    rule = rand(pn, pn, pn)
+    l1, r1 = rand(pn, d // pn, rank), rand(pn, rank, d // pn)
+    l2, r2 = rand(pn, d // pn, rank), rand(pn, rank, d // pn)
+    w_out, b_out = rand(d, d), rand(d)
+
+    def kron_sum(rule_t, w):
+        return torch.einsum("bac,bkp->bakcp", rule_t, w).reshape(
+            rule_t.shape[0], rule_t.shape[1] * w.shape[1],
+            rule_t.shape[2] * w.shape[2],
+        ).sum(0)
+
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+    dq = x @ kron_sum(rule, torch.bmm(l1, r1))
+    dv = x @ kron_sum(rule, torch.bmm(l2, r2))
+    q = q + dq  # pre-scale: the scale multiplies the scores below
+    v = v + dv
+
+    hd = d // h
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    attn = torch.softmax(
+        heads(q) @ heads(k).transpose(-2, -1) * hd**-0.5, dim=-1
+    )
+    out = (attn @ heads(v)).permute(0, 2, 1, 3).reshape(b, n, d)
+    out = out @ w_out.T + b_out
+
+    np.savez(
+        os.path.join(HERE, "kadaptation_kron_attn.npz"),
+        x=x.numpy(),
+        w_qkv=w_qkv.numpy(), b_qkv=b_qkv.numpy(),
+        rule=rule.numpy(),
+        l1=l1.numpy(), r1=r1.numpy(), l2=l2.numpy(), r2=r2.numpy(),
+        w_out=w_out.numpy(), b_out=b_out.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+        phm_dim=np.asarray(pn),
+        phm_rank=np.asarray(rank),
+    )
+    print("kadaptation_kron_attn:", out.shape, float(out.abs().mean()))
+
+
 if __name__ == "__main__":
     gen_lora_post_scale_q()
     gen_adapter_double_mlp()
     gen_compacter_phm_adapter()
+    gen_kadaptation_kron_attn()

@@ -149,3 +149,41 @@ class TestCompacterGolden:
         np.testing.assert_allclose(
             np.asarray(out), g["out"], atol=1e-5, rtol=1e-4
         )
+
+    def test_kadaptation_kron_attn(self):
+        """KAdaptation q/v Kronecker deltas pinned against the torch
+        golden: shared phm_rule, W_i = W_left_i @ W_right_i factorization
+        (kadaptation.py:211-212), pre-scale delta injection, dead phmb."""
+        g = np.load(os.path.join(GOLDEN, "kadaptation_kron_attn.npz"))
+        d = g["x"].shape[-1]
+        spec = PEFTSpec(
+            method="kadaptation",
+            attn_delta="kron",
+            phm_dim=int(g["phm_dim"]),
+            phm_rank=int(g["phm_rank"]),
+            lora_post_scale_q=False,
+        )
+        m = MultiHeadAttention(
+            d, int(g["heads"]), spec=spec, use_flash=False
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(g["x"]))[
+            "params"
+        ]
+        params = _set(
+            params,
+            {
+                "in_proj/kernel": g["w_qkv"].T,
+                "in_proj/bias": g["b_qkv"],
+                "phm_rule": g["rule"],
+                "W_left1": g["l1"],
+                "W_right1": g["r1"],
+                "W_left2": g["l2"],
+                "W_right2": g["r2"],
+                "out_proj/kernel": g["w_out"].T,
+                "out_proj/bias": g["b_out"],
+            },
+        )
+        out = m.apply({"params": params}, jnp.asarray(g["x"]))
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], rtol=1e-4, atol=1e-5
+        )
