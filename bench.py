@@ -22,6 +22,16 @@ Configuration (all measured on v5e, see BASELINE.md):
 * small per-chip batch (sweep peaks at B=16): XLA keeps the 197x197
   attention score tiles VMEM-resident below B~32; at B>=64 they spill
   and the attention chain scales superlinearly with batch.
+
+The timed window reuses one device-resident batch DELIBERATELY: this
+container's host<->device link is a ~39 MB/s relay tunnel (production
+TPU hosts have PCIe), so any fresh-data variant measures the rig, not
+the framework.  The input path is benchmarked separately end-to-end
+(BASELINE.md "Streaming input pipeline": commands/train.py with the
+native decode ring, double-buffered device transfer, and uint8 chunks
+at the rig's decode/tunnel ceiling).  This bench isolates the compute
+question the baseline target asks about: images/sec the chip sustains
+on the ViT-B/16 LoRA train step.
 """
 
 from __future__ import annotations

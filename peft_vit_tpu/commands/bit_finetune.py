@@ -73,6 +73,9 @@ def bit_main(cfg) -> float:
             shuffle=False,
             drop_last=False,
         ),
+        tb_log_dir=os.path.join(
+            cfg.OUTPUT_DIR, cfg.DATASET.DATASET, cfg.NAME, "tb_log"
+        ),
     )
     final_result_line("accuracy", best)
     return best

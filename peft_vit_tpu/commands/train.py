@@ -202,7 +202,10 @@ def train_main(cfg) -> float:
     ckpt_dir = os.path.join(
         cfg.OUTPUT_DIR, cfg.DATASET.DATASET, cfg.NAME, "checkpoints"
     )
-    best = trainer.fit(train_batches, eval_batches, ckpt_dir)
+    tb_dir = os.path.join(
+        cfg.OUTPUT_DIR, cfg.DATASET.DATASET, cfg.NAME, "tb_log"
+    )
+    best = trainer.fit(train_batches, eval_batches, ckpt_dir, tb_dir)
     final_result_line("accuracy", best)
     return best
 

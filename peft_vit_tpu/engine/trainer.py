@@ -646,6 +646,7 @@ class Trainer:
         train_batches_fn: Callable[[int], Iterator],
         eval_batches_fn: Callable[[], Iterator],
         checkpoint_dir: Optional[str] = None,
+        tb_log_dir: Optional[str] = None,
     ) -> float:
         cfg = self.cfg
         begin = int(cfg.TRAIN.BEGIN_EPOCH)
@@ -653,6 +654,13 @@ class Trainer:
             resumed = self.maybe_resume(checkpoint_dir)
             if resumed is not None:
                 begin = resumed + 1
+        # per-epoch TensorBoard scalars, rank 0 only (the writer_dict of
+        # tools/train.py:101-105 + lib/core/function.py:165-170,258-263)
+        tb = None
+        if tb_log_dir:
+            from ..utils.tb import create_scalar_writer
+
+            tb = create_scalar_writer(tb_log_dir)
         best = 0.0
         for epoch in range(begin, int(cfg.TRAIN.END_EPOCH)):
             stats = self.train_one_epoch(train_batches_fn(epoch), epoch)
@@ -662,6 +670,11 @@ class Trainer:
                 stats["loss"],
                 stats["samples_per_sec"],
             )
+            if tb is not None:
+                tb.scalar("train_loss", stats["loss"], epoch)
+                tb.scalar("train_samples_per_sec",
+                          stats["samples_per_sec"], epoch)
+                tb.scalar("lr", float(self.schedule(self.state.step)), epoch)
             if epoch >= int(cfg.TRAIN.EVAL_BEGIN_EPOCH):
                 acc = self.evaluate(eval_batches_fn())
                 best = max(best, acc)
@@ -671,11 +684,15 @@ class Trainer:
                     acc,
                     best,
                 )
+                if tb is not None:
+                    tb.scalar("valid_top1", acc, epoch)
                 if float(cfg.TRAIN.EMA_DECAY) > 0:
                     ema_acc = self.evaluate(
                         eval_batches_fn(), use_ema=True
                     )
                     logger.info("=> Epoch %d EMA acc %.3f", epoch, ema_acc)
+                    if tb is not None:
+                        tb.scalar("valid_top1_ema", ema_acc, epoch)
                     best = max(best, ema_acc)
             if checkpoint_dir:
                 self.save(checkpoint_dir, epoch)
@@ -685,7 +702,11 @@ class Trainer:
                 self.update_bn(train_batches_fn(int(cfg.TRAIN.END_EPOCH)))
             swa_acc = self.evaluate(eval_batches_fn(), use_swa=True)
             logger.info("=> SWA acc %.3f", swa_acc)
+            if tb is not None:
+                tb.scalar("valid_top1_swa", swa_acc, int(cfg.TRAIN.END_EPOCH))
             best = max(best, swa_acc)
+        if tb is not None:
+            tb.close()
         return best
 
 

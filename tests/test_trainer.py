@@ -256,6 +256,34 @@ class TestBatchNormTraining:
             for b, a in zip(before, after)
         )
 
+    def test_fit_writes_tensorboard_scalars(self, tmp_path):
+        # writer_dict parity (tools/train.py:101-105,
+        # lib/core/function.py:165-170): fit(tb_log_dir=...) emits
+        # per-epoch train_loss / valid_top1 scalars rank-0-only
+        pytest.importorskip("torch.utils.tensorboard")
+        cfg = make_cfg(**{"TRAIN.END_EPOCH": 2})
+        model, variables, mask = _bn_head_setup(cfg)
+        trainer = Trainer(cfg, model, variables["params"], mask, 4,
+                          batch_stats=variables["batch_stats"])
+        rng = np.random.RandomState(3)
+        x = rng.randn(32, 8).astype(np.float32)
+        y = rng.randint(0, 3, 32)
+        tb_dir = str(tmp_path / "tb_log")
+        trainer.fit(
+            lambda e: batch_iterator(x, y, 8, seed=e),
+            lambda: batch_iterator(x, y, 8, shuffle=False),
+            tb_log_dir=tb_dir,
+        )
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+
+        acc = EventAccumulator(tb_dir)
+        acc.Reload()
+        tags = set(acc.Tags()["scalars"])
+        assert {"train_loss", "valid_top1", "lr"} <= tags
+        assert len(acc.Scalars("train_loss")) == 2  # one per epoch
+
     def test_swalr_schedule(self):
         from peft_vit_tpu.engine.optim import build_lr_schedule
 
