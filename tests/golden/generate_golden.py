@@ -265,8 +265,115 @@ def gen_kadaptation_kron_attn(seed=3, b=2, n=5, d=16, h=4, pn=4, rank=2):
     print("kadaptation_kron_attn:", out.shape, float(out.abs().mean()))
 
 
+def gen_lepe_attention(seed=4, b=2, g=4, d=16, h=4):
+    """LePE attention (LePE.py:84-144): v is reshaped to (B, C, H, W),
+    passed through a depthwise 3x3 conv (get_v), head-split C-major, and
+    added to attn @ v BEFORE the head merge.  N must be a perfect square
+    — get_lepe (:109-116) has no cls handling (int(sqrt(N)) truncates),
+    so the golden uses a pure-grid sequence (n_prefix=0)."""
+    import torch.nn.functional as F
+
+    g_ = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g_, dtype=torch.float32) * 0.2
+
+    n = g * g
+    x = rand(b, n, d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    w_v, bias_v = rand(d, 1, 3, 3), rand(d)  # depthwise conv weight
+    w_out, b_out = rand(d, d), rand(d)
+
+    hd = d // h
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    attn = torch.softmax(
+        heads(q) @ heads(k).transpose(-2, -1) * hd**-0.5, dim=-1
+    )
+    # get_lepe: (B, N, C) -> transpose -> (B, C, H, W) -> depthwise conv
+    # -> (B, h, C/h, HW) -> permute -> (B, h, HW, C/h)   (:109-116)
+    vimg = v.transpose(-2, -1).reshape(b, d, g, g)
+    lepe = F.conv2d(vimg, w_v, bias_v, padding=1, groups=d)
+    lepe = lepe.reshape(b, h, hd, n).permute(0, 1, 3, 2)
+    out = (attn @ heads(v) + lepe).permute(0, 2, 1, 3).reshape(b, n, d)
+    out = out @ w_out.T + b_out
+
+    np.savez(
+        os.path.join(HERE, "lepe_attention.npz"),
+        x=x.numpy(),
+        w_qkv=w_qkv.numpy(), b_qkv=b_qkv.numpy(),
+        w_v=w_v.numpy(), bias_v=bias_v.numpy(),
+        w_out=w_out.numpy(), b_out=b_out.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+        grid=np.asarray(g),
+    )
+    print("lepe_attention:", out.shape, float(out.abs().mean()))
+
+
+def gen_rpb_attention(seed=5, b=2, g=4, d=16, h=4):
+    """RPB attention (RPB.py:84-160): Swin-style relative position bias
+    over an ndim x ndim grid added to the scaled scores before softmax.
+    The bias is (h, g*g, g*g) with no cls row/col — broadcasting against
+    (B, h, N, N) forces N == g*g in the reference, so the golden uses a
+    pure-grid sequence."""
+    g_ = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g_, dtype=torch.float32) * 0.2
+
+    n = g * g
+    x = rand(b, n, d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    table = rand((2 * g - 1) * (2 * g - 1), h)
+    w_out, b_out = rand(d, d), rand(d)
+
+    # relative_position_index exactly as RPB.py:116-127
+    coords = torch.stack(
+        torch.meshgrid([torch.arange(g), torch.arange(g)], indexing="ij")
+    )
+    flat = torch.flatten(coords, 1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += g - 1
+    rel[:, :, 1] += g - 1
+    rel[:, :, 0] *= 2 * g - 1
+    index = rel.sum(-1)  # (g*g, g*g)
+
+    hd = d // h
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    bias = table[index.view(-1)].view(n, n, h).permute(2, 0, 1)
+    score = heads(q) @ heads(k).transpose(-2, -1) * hd**-0.5
+    attn = torch.softmax(score + bias.unsqueeze(0), dim=-1)
+    out = (attn @ heads(v)).permute(0, 2, 1, 3).reshape(b, n, d)
+    out = out @ w_out.T + b_out
+
+    np.savez(
+        os.path.join(HERE, "rpb_attention.npz"),
+        x=x.numpy(),
+        w_qkv=w_qkv.numpy(), b_qkv=b_qkv.numpy(),
+        table=table.numpy(),
+        w_out=w_out.numpy(), b_out=b_out.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+        grid=np.asarray(g),
+    )
+    print("rpb_attention:", out.shape, float(out.abs().mean()))
+
+
 if __name__ == "__main__":
     gen_lora_post_scale_q()
     gen_adapter_double_mlp()
     gen_compacter_phm_adapter()
     gen_kadaptation_kron_attn()
+    gen_lepe_attention()
+    gen_rpb_attention()

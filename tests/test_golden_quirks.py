@@ -113,6 +113,78 @@ class TestGoldenQuirks:
         )
 
 
+class TestPositionalGolden:
+    def test_lepe_attention(self):
+        """LePE depthwise-conv positional encoding pinned against the
+        torch golden (LePE.py:84-144): v -> (B,C,H,W) -> 3x3 depthwise
+        get_v -> added to attn @ v.  The reference requires N == g*g
+        (get_lepe has no cls handling), so the fixture is pure-grid and
+        the module runs with n_prefix=0."""
+        g = np.load(os.path.join(GOLDEN, "lepe_attention.npz"))
+        d = g["x"].shape[-1]
+        spec = PEFTSpec(method="lepe", lepe=True)
+        m = MultiHeadAttention(
+            d,
+            int(g["heads"]),
+            spec=spec,
+            grid_size=int(g["grid"]),
+            n_prefix=0,
+            use_flash=False,
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(g["x"]))[
+            "params"
+        ]
+        params = _set(
+            params,
+            {
+                "in_proj/kernel": g["w_qkv"].T,
+                "in_proj/bias": g["b_qkv"],
+                # torch depthwise (d,1,3,3) -> flax HWIO (3,3,1,d)
+                "get_v/kernel": np.transpose(g["w_v"], (2, 3, 1, 0)),
+                "get_v/bias": g["bias_v"],
+                "out_proj/kernel": g["w_out"].T,
+                "out_proj/bias": g["b_out"],
+            },
+        )
+        out = m.apply({"params": params}, jnp.asarray(g["x"]))
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], rtol=1e-5, atol=1e-5
+        )
+
+    def test_rpb_attention(self):
+        """Swin-style relative position bias pinned against the torch
+        golden (RPB.py:84-160): table[(2g-1)^2, h] indexed by the
+        relative-coordinate map, added to scaled scores pre-softmax."""
+        g = np.load(os.path.join(GOLDEN, "rpb_attention.npz"))
+        d = g["x"].shape[-1]
+        spec = PEFTSpec(method="rpb", attn_bias="rpb", rpb_ndim=-1)
+        m = MultiHeadAttention(
+            d,
+            int(g["heads"]),
+            spec=spec,
+            grid_size=int(g["grid"]),
+            n_prefix=0,
+            use_flash=False,
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(g["x"]))[
+            "params"
+        ]
+        params = _set(
+            params,
+            {
+                "in_proj/kernel": g["w_qkv"].T,
+                "in_proj/bias": g["b_qkv"],
+                "relative_position_bias_table": g["table"],
+                "out_proj/kernel": g["w_out"].T,
+                "out_proj/bias": g["b_out"],
+            },
+        )
+        out = m.apply({"params": params}, jnp.asarray(g["x"]))
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], rtol=1e-5, atol=1e-5
+        )
+
+
 class TestCompacterGolden:
     def test_compacter_phm_adapter(self):
         """PHM semantics pinned against the independent torch golden:
