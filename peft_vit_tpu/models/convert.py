@@ -143,6 +143,185 @@ def clip_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
     return flat
 
 
+def is_clip_rn_state_dict(sd: Dict[str, Any]) -> bool:
+    """True for an OpenAI CLIP ModifiedResNet checkpoint (RN50 etc.).
+    ViT and RN towers both ship ``visual.conv1.weight``; only the RN
+    tower has an attention pool (model.py:96-160)."""
+    return "visual.attnpool.positional_embedding" in sd
+
+
+def infer_clip_rn_shape(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Shape inference for a ModifiedResNet CLIP state dict, mirroring
+    the counting logic clip.py's ``build_model`` uses for RN variants."""
+    width = _np(sd["visual.conv1.weight"]).shape[0] * 2
+    layers = tuple(
+        len(
+            {
+                k.split(".")[2]
+                for k in sd
+                if k.startswith(f"visual.layer{s}.")
+            }
+        )
+        for s in (1, 2, 3, 4)
+    )
+    embed_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+    grid = int(
+        round(
+            (_np(sd["visual.attnpool.positional_embedding"]).shape[0] - 1)
+            ** 0.5
+        )
+    )
+    info = dict(
+        embed_dim=int(embed_dim),
+        image_size=int(grid * 32),
+        vision_width=int(width),
+        vision_layers=layers,
+        vision_heads=int(width * 32 // 64),
+        has_text="text_projection" in sd,
+    )
+    if info["has_text"]:
+        info.update(
+            text_width=int(_np(sd["ln_final.weight"]).shape[0]),
+            text_layers=len(
+                {
+                    k.split(".")[2]
+                    for k in sd
+                    if k.startswith("transformer.resblocks.")
+                }
+            ),
+            vocab_size=int(_np(sd["token_embedding.weight"]).shape[0]),
+            context_length=int(_np(sd["positional_embedding"]).shape[0]),
+        )
+        info["text_heads"] = max(info["text_width"] // 64, 1)
+    else:
+        info.update(
+            text_width=0, text_layers=0, vocab_size=0,
+            context_length=0, text_heads=1,
+        )
+    return info
+
+
+def _convert_bn(sd, prefix: str, out: Dict, name: str, stats: Dict):
+    out[f"{name}/scale"] = _np(sd[f"{prefix}.weight"])
+    out[f"{name}/bias"] = _np(sd[f"{prefix}.bias"])
+    stats[f"{name}/mean"] = _np(sd[f"{prefix}.running_mean"])
+    stats[f"{name}/var"] = _np(sd[f"{prefix}.running_var"])
+
+
+def clip_rn_state_dict_to_tree(
+    sd: Dict[str, Any],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """OpenAI CLIP RN state dict -> (flat params, flat batch_stats) in
+    ``models/clip_resnet.py`` naming.  Conv kernels OIHW -> HWIO; the
+    downsample Sequential's "-1" entry is a parameterless avgpool."""
+    info = infer_clip_rn_shape(sd)
+    flat: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def conv(src, dst):
+        flat[dst + "/kernel"] = _np(sd[src]).transpose(2, 3, 1, 0)
+
+    for i in (1, 2, 3):
+        conv(f"visual.conv{i}.weight", f"visual/conv{i}")
+        _convert_bn(sd, f"visual.bn{i}", flat, f"visual/bn{i}", stats)
+    for s, blocks in enumerate(info["vision_layers"], start=1):
+        for i in range(blocks):
+            src = f"visual.layer{s}.{i}"
+            dst = f"visual/layer{s}_{i}"
+            for c in (1, 2, 3):
+                conv(f"{src}.conv{c}.weight", f"{dst}/conv{c}")
+                _convert_bn(
+                    sd, f"{src}.bn{c}", flat, f"{dst}/bn{c}", stats
+                )
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{src}.downsample.0.weight", f"{dst}/downsample_conv")
+                _convert_bn(
+                    sd,
+                    f"{src}.downsample.1",
+                    flat,
+                    f"{dst}/downsample_bn",
+                    stats,
+                )
+    flat["visual/attnpool/positional_embedding"] = _np(
+        sd["visual.attnpool.positional_embedding"]
+    )
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        flat[f"visual/attnpool/{p}/kernel"] = _np(
+            sd[f"visual.attnpool.{p}.weight"]
+        ).T
+        flat[f"visual/attnpool/{p}/bias"] = _np(
+            sd[f"visual.attnpool.{p}.bias"]
+        )
+
+    if info["has_text"]:
+        flat["text/token_embedding/embedding"] = _np(
+            sd["token_embedding.weight"]
+        )
+        flat["text/positional_embedding"] = _np(sd["positional_embedding"])
+        for i in range(info["text_layers"]):
+            blk = _convert_block(sd, f"transformer.resblocks.{i}")
+            for k, v in blk.items():
+                flat[f"text/blocks_{i}/{k}"] = v
+        flat["text/ln_final/scale"] = _np(sd["ln_final.weight"])
+        flat["text/ln_final/bias"] = _np(sd["ln_final.bias"])
+        flat["text/text_projection"] = _np(sd["text_projection"])
+    if "logit_scale" in sd:
+        flat["logit_scale"] = _np(sd["logit_scale"]).reshape(())
+    return flat, stats
+
+
+def timm_effnet_state_dict_to_tree(
+    sd: Dict[str, Any],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """timm ``efficientnet_b0``-style state dict -> (flat params, flat
+    batch_stats) in ``models/efficientnet.py`` naming.  The classifier
+    head is dropped (the reference's EvalModel uses pooled features
+    only, feature.py:227-231).  Depthwise conv weights (ch,1,k,k) and
+    dense convs (o,i,k,k) both map OIHW -> HWIO."""
+    flat: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def conv(src, dst, bias=False):
+        flat[dst + "/kernel"] = _np(sd[src + ".weight"]).transpose(
+            2, 3, 1, 0
+        )
+        if bias:
+            flat[dst + "/bias"] = _np(sd[src + ".bias"])
+
+    conv("conv_stem", "conv_stem")
+    _convert_bn(sd, "bn1", flat, "bn1", stats)
+    s = 0
+    while f"blocks.{s}.0.conv_dw.weight" in sd or (
+        f"blocks.{s}.0.conv_pw.weight" in sd
+    ):
+        i = 0
+        while f"blocks.{s}.{i}.conv_dw.weight" in sd:
+            src = f"blocks.{s}.{i}"
+            dst = f"blocks_{s}_{i}"
+            inverted = f"{src}.conv_pwl.weight" in sd
+            if inverted:
+                conv(f"{src}.conv_pw", f"{dst}/conv_pw")
+                _convert_bn(sd, f"{src}.bn1", flat, f"{dst}/bn1", stats)
+                conv(f"{src}.conv_dw", f"{dst}/conv_dw")
+                _convert_bn(sd, f"{src}.bn2", flat, f"{dst}/bn2", stats)
+                conv(f"{src}.conv_pwl", f"{dst}/conv_pwl")
+                _convert_bn(sd, f"{src}.bn3", flat, f"{dst}/bn3", stats)
+            else:  # stage-0 depthwise-separable block
+                conv(f"{src}.conv_dw", f"{dst}/conv_dw")
+                _convert_bn(sd, f"{src}.bn1", flat, f"{dst}/bn1", stats)
+                conv(f"{src}.conv_pw", f"{dst}/conv_pw")
+                _convert_bn(sd, f"{src}.bn2", flat, f"{dst}/bn2", stats)
+            conv(f"{src}.se.conv_reduce", f"{dst}/se/conv_reduce",
+                 bias=True)
+            conv(f"{src}.se.conv_expand", f"{dst}/se/conv_expand",
+                 bias=True)
+            i += 1
+        s += 1
+    conv("conv_head", "conv_head")
+    _convert_bn(sd, "bn2", flat, "bn2", stats)
+    return flat, stats
+
+
 def timm_vit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
     """timm ``vit_base_patch16_224``-style state dict -> our naming."""
     flat: Dict[str, np.ndarray] = {}

@@ -13,6 +13,7 @@ tools/train.py:85), driven by MODEL.NAME:
 from __future__ import annotations
 
 import logging
+import re
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -36,7 +37,19 @@ logger = logging.getLogger(__name__)
 
 def is_clip_model(cfg) -> bool:
     name = str(cfg.MODEL.NAME).lower()
-    return "clip" in name
+    # 'RN50'/'RN101'/'RN50x4'/'RN50x16' are OpenAI CLIP names the
+    # reference hands to clip.load (feature.py:253-260)
+    return "clip" in name or bool(re.match(r"^rn\d+", name))
+
+
+def is_clip_rn_cfg(cfg) -> bool:
+    """CLIP ModifiedResNet tower requested by config (no checkpoint):
+    an RN* model name, or a clip model with VISION.MODEL: resnet."""
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return bool(re.match(r"^rn\d+", name)) or (
+        "clip" in name and vm == "resnet"
+    )
 
 
 def is_convvit_model(cfg) -> bool:
@@ -67,6 +80,14 @@ def is_rexnet_model(cfg) -> bool:
     name = str(cfg.MODEL.NAME).lower()
     vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
     return "rexnet" in name or vm == "rexnet"
+
+
+def is_efficientnet_model(cfg) -> bool:
+    # 'efficientnet_b0' is a timm name the reference routes through
+    # timm.create_model + EvalModel (feature.py:227-231)
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return "efficientnet" in name or vm == "efficientnet"
 
 
 def is_hrnet_model(cfg) -> bool:
@@ -199,7 +220,26 @@ def build_image_classifier(
 
     encode_text = None
     if is_clip_model(cfg):
-        if sd is not None and "visual.conv1.weight" in sd:
+        from .convert import (
+            clip_rn_state_dict_to_tree,
+            infer_clip_rn_shape,
+            is_clip_rn_state_dict,
+        )
+
+        # ModifiedResNet tower (RN50 family) vs ViT tower: from the
+        # checkpoint when present (only the RN tower has an attnpool),
+        # from the config otherwise
+        rn_tower = (
+            is_clip_rn_state_dict(sd)
+            if sd is not None
+            else is_clip_rn_cfg(cfg)
+        )
+        flat_src = None
+        stats_src = None
+        if sd is not None and rn_tower:
+            info = infer_clip_rn_shape(sd)
+            flat_src, stats_src = clip_rn_state_dict_to_tree(sd)
+        elif sd is not None and "visual.conv1.weight" in sd:
             info = infer_clip_shape(sd)
             # head count is not recoverable from a state dict (the
             # width/64 convention is a heuristic); honor an explicit
@@ -207,14 +247,20 @@ def build_image_classifier(
             cfg_heads = int(cfg.MODEL.SPEC.VISION.get("HEADS", 0))
             if cfg_heads:
                 info["vision_heads"] = cfg_heads
+            flat_src = clip_state_dict_to_tree(sd)
         else:
             s = cfg.MODEL.SPEC
+            v_layers = s.VISION.LAYERS
             info = dict(
                 embed_dim=int(s.EMBED_DIM),
                 image_size=size,
-                patch_size=int(s.VISION.PATCH_SIZE),
+                patch_size=int(s.VISION.get("PATCH_SIZE", 32)),
                 vision_width=int(s.VISION.WIDTH),
-                vision_layers=int(s.VISION.LAYERS),
+                vision_layers=(
+                    tuple(int(x) for x in v_layers)
+                    if rn_tower
+                    else int(v_layers)
+                ),
                 vision_heads=int(s.VISION.HEADS),
                 vocab_size=int(s.TEXT.VOCAB_SIZE),
                 context_length=int(s.TEXT.CONTEXT_LENGTH),
@@ -225,9 +271,24 @@ def build_image_classifier(
         # MERGE_ENCODER_AND_HEAD_PROJ (full_model_finetune.py:105-135):
         # drop the visual projection; the head runs on pre-proj features
         # and absorbs proj (x) text-classifier in init_head_from_text.
-        merge_proj = bool(cfg.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ)
+        # The RN tower's projection (attnpool c_proj) is structural, so
+        # merge does not apply there.
+        merge_proj = (
+            bool(cfg.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ) and not rn_tower
+        )
         out_dim = None if merge_proj else info["embed_dim"]
-        if is_swin_model(cfg):
+        if rn_tower:
+            from .clip_resnet import ModifiedResNet
+
+            backbone = ModifiedResNet(
+                layers=tuple(info["vision_layers"]),
+                output_dim=info["embed_dim"],
+                heads=int(info["vision_heads"]),
+                image_size=info["image_size"],
+                width=info["vision_width"],
+                dtype=dtype,
+            )
+        elif is_swin_model(cfg):
             backbone = _build_swin_backbone(
                 cfg, spec, out_dim, dtype, use_flash
             )
@@ -261,8 +322,7 @@ def build_image_classifier(
         x0 = jnp.zeros((1, info["image_size"], info["image_size"], 3))
         variables = dict(model.init(rng, x0))
         params = variables["params"]
-        if sd is not None and "visual.conv1.weight" in sd:
-            flat_src = clip_state_dict_to_tree(sd)
+        if flat_src is not None:
             visual_src = {
                 "backbone/" + k[len("visual/"):]: v
                 for k, v in flat_src.items()
@@ -280,6 +340,15 @@ def build_image_classifier(
                     visual_src, info["vision_layers"]
                 )
             params, missing = graft(params, visual_src, strict=False)
+            if stats_src:
+                vstats = {
+                    "backbone/" + k[len("visual/"):]: v
+                    for k, v in stats_src.items()
+                    if k.startswith("visual/")
+                }
+                variables["batch_stats"], _ = graft(
+                    variables["batch_stats"], vstats, strict=False
+                )
             logger.info(
                 "=> grafted CLIP visual weights (%d fresh leaves)",
                 len(missing),
@@ -287,7 +356,7 @@ def build_image_classifier(
         # text tower for zero-shot / head init / contrastive methods —
         # grafted from the checkpoint when present, fresh otherwise
         text_src = None
-        if sd is not None and "visual.conv1.weight" in sd:
+        if flat_src is not None:
             if not info.get("has_text", True):
                 variables["params"] = params
                 return model, variables, None
@@ -326,6 +395,17 @@ def build_image_classifier(
             backbone = ReXNet(
                 width_mult=float(v.get("WIDTH_MULT", 1.0)),
                 depth_mult=float(v.get("DEPTH_MULT", 1.0)),
+                dtype=dtype,
+            )
+        elif is_efficientnet_model(cfg):
+            from .efficientnet import EfficientNet
+
+            v = cfg.MODEL.SPEC.VISION
+            backbone = EfficientNet(
+                width_mult=float(v.get("WIDTH_MULT", 1.0)),
+                depth_mult=float(v.get("DEPTH_MULT", 1.0)),
+                stem_ch=int(v.get("STEM_CH", 32)),
+                head_ch=int(v.get("HEAD_CH", 1280)),
                 dtype=dtype,
             )
         elif is_hrnet_model(cfg):
@@ -389,7 +469,25 @@ def build_image_classifier(
         x0 = jnp.zeros((1, size, size, 3))
         variables = dict(model.init(rng, x0))
         params = variables["params"]
-        if sd is not None and not (
+        if sd is not None and is_efficientnet_model(cfg):
+            from .convert import timm_effnet_state_dict_to_tree
+
+            eff_flat, eff_stats = timm_effnet_state_dict_to_tree(sd)
+            params, missing = graft(
+                params,
+                {"backbone/" + k: v for k, v in eff_flat.items()},
+                strict=False,
+            )
+            variables["batch_stats"], _ = graft(
+                variables["batch_stats"],
+                {"backbone/" + k: v for k, v in eff_stats.items()},
+                strict=False,
+            )
+            logger.info(
+                "=> grafted timm EfficientNet weights (%d fresh leaves)",
+                len(missing),
+            )
+        elif sd is not None and not (
             is_resnet_model(cfg)
             or is_hrnet_model(cfg)
             or is_rexnet_model(cfg)

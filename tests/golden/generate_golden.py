@@ -370,6 +370,262 @@ def gen_rpb_attention(seed=5, b=2, g=4, d=16, h=4):
     print("rpb_attention:", out.shape, float(out.abs().mean()))
 
 
+def gen_clip_rn_tower(seed=6, b=2, width=8, layers=(1, 1, 1, 1),
+                      embed_dim=16, image=32):
+    """CLIP ModifiedResNet visual tower (model.py:13-160), independent
+    torch re-implementation in OpenAI state-dict naming: 3-conv stem +
+    avgpool, anti-aliased strided bottlenecks (avgpool after conv2,
+    avgpool-prepended downsample), AttentionPool2d readout (mean token
+    prepended, learned pos embedding, MHA -> x[0]).  The npz stores the
+    full torch-format state dict so the test also pins the converter
+    (clip_rn_state_dict_to_tree) key mapping, BN running stats included
+    (eval mode)."""
+    import torch.nn.functional as F
+
+    g_ = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g_, dtype=torch.float32) * 0.2
+
+    sd = {}
+
+    def make_bn(prefix, ch):
+        sd[f"{prefix}.weight"] = rand(ch) + 1.0
+        sd[f"{prefix}.bias"] = rand(ch)
+        sd[f"{prefix}.running_mean"] = rand(ch)
+        sd[f"{prefix}.running_var"] = rand(ch).abs() + 0.5
+
+    def bn(x, prefix):
+        m, v = sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"]
+        w_, b_ = sd[f"{prefix}.weight"], sd[f"{prefix}.bias"]
+        inv = (v + 1e-5).rsqrt()
+        return (x - m[:, None, None]) * inv[:, None, None] * w_[
+            :, None, None
+        ] + b_[:, None, None]
+
+    # stem
+    sd["visual.conv1.weight"] = rand(width // 2, 3, 3, 3)
+    make_bn("visual.bn1", width // 2)
+    sd["visual.conv2.weight"] = rand(width // 2, width // 2, 3, 3)
+    make_bn("visual.bn2", width // 2)
+    sd["visual.conv3.weight"] = rand(width, width // 2, 3, 3)
+    make_bn("visual.bn3", width)
+
+    inplanes = width
+    for s, blocks in enumerate(layers, start=1):
+        planes = width * 2 ** (s - 1)
+        for i in range(blocks):
+            p = f"visual.layer{s}.{i}"
+            sd[f"{p}.conv1.weight"] = rand(planes, inplanes, 1, 1)
+            make_bn(f"{p}.bn1", planes)
+            sd[f"{p}.conv2.weight"] = rand(planes, planes, 3, 3)
+            make_bn(f"{p}.bn2", planes)
+            sd[f"{p}.conv3.weight"] = rand(planes * 4, planes, 1, 1)
+            make_bn(f"{p}.bn3", planes * 4)
+            stride = 2 if (s > 1 and i == 0) else 1
+            if stride > 1 or inplanes != planes * 4:
+                sd[f"{p}.downsample.0.weight"] = rand(
+                    planes * 4, inplanes, 1, 1
+                )
+                make_bn(f"{p}.downsample.1", planes * 4)
+            inplanes = planes * 4
+
+    c = width * 32
+    heads = c // 64 or 1
+    n = (image // 32) ** 2
+    sd["visual.attnpool.positional_embedding"] = rand(n + 1, c)
+    for pn in ("q_proj", "k_proj", "v_proj"):
+        sd[f"visual.attnpool.{pn}.weight"] = rand(c, c)
+        sd[f"visual.attnpool.{pn}.bias"] = rand(c)
+    sd["visual.attnpool.c_proj.weight"] = rand(embed_dim, c)
+    sd["visual.attnpool.c_proj.bias"] = rand(embed_dim)
+
+    x = rand(b, 3, image, image)  # NCHW
+
+    # forward (eval mode)
+    h = F.relu(bn(F.conv2d(x, sd["visual.conv1.weight"], stride=2,
+                           padding=1), "visual.bn1"))
+    h = F.relu(bn(F.conv2d(h, sd["visual.conv2.weight"], padding=1),
+                  "visual.bn2"))
+    h = F.relu(bn(F.conv2d(h, sd["visual.conv3.weight"], padding=1),
+                  "visual.bn3"))
+    h = F.avg_pool2d(h, 2)
+
+    inplanes = width
+    for s, blocks in enumerate(layers, start=1):
+        planes = width * 2 ** (s - 1)
+        for i in range(blocks):
+            p = f"visual.layer{s}.{i}"
+            stride = 2 if (s > 1 and i == 0) else 1
+            out = F.relu(bn(F.conv2d(h, sd[f"{p}.conv1.weight"]),
+                            f"{p}.bn1"))
+            out = F.relu(bn(F.conv2d(out, sd[f"{p}.conv2.weight"],
+                                     padding=1), f"{p}.bn2"))
+            if stride > 1:
+                out = F.avg_pool2d(out, stride)
+            out = bn(F.conv2d(out, sd[f"{p}.conv3.weight"]), f"{p}.bn3")
+            identity = h
+            if f"{p}.downsample.0.weight" in sd:
+                identity = F.avg_pool2d(h, stride) if stride > 1 else h
+                identity = bn(
+                    F.conv2d(identity, sd[f"{p}.downsample.0.weight"]),
+                    f"{p}.downsample.1",
+                )
+            h = F.relu(out + identity)
+            inplanes = planes * 4
+
+    # AttentionPool2d (model.py:59-95)
+    t = h.reshape(b, c, -1).permute(2, 0, 1)  # (HW) N C
+    t = torch.cat([t.mean(dim=0, keepdim=True), t], dim=0)
+    t = t + sd["visual.attnpool.positional_embedding"][:, None, :]
+    out, _ = F.multi_head_attention_forward(
+        query=t, key=t, value=t,
+        embed_dim_to_check=c,
+        num_heads=heads,
+        q_proj_weight=sd["visual.attnpool.q_proj.weight"],
+        k_proj_weight=sd["visual.attnpool.k_proj.weight"],
+        v_proj_weight=sd["visual.attnpool.v_proj.weight"],
+        in_proj_weight=None,
+        in_proj_bias=torch.cat([
+            sd["visual.attnpool.q_proj.bias"],
+            sd["visual.attnpool.k_proj.bias"],
+            sd["visual.attnpool.v_proj.bias"],
+        ]),
+        bias_k=None, bias_v=None,
+        add_zero_attn=False, dropout_p=0,
+        out_proj_weight=sd["visual.attnpool.c_proj.weight"],
+        out_proj_bias=sd["visual.attnpool.c_proj.bias"],
+        use_separate_proj_weight=True,
+        training=False, need_weights=False,
+    )
+    feat = out[0]
+
+    arrays = {k.replace(".", "__"): v.numpy() for k, v in sd.items()}
+    np.savez(
+        os.path.join(HERE, "clip_rn_tower.npz"),
+        x=x.numpy(),
+        out=feat.numpy(),
+        width=np.asarray(width),
+        layers=np.asarray(layers),
+        embed_dim=np.asarray(embed_dim),
+        image=np.asarray(image),
+        **arrays,
+    )
+    print("clip_rn_tower:", feat.shape, float(feat.abs().mean()))
+
+
+def gen_effnet_tower(seed=7, b=2, image=32):
+    """Tiny EfficientNet in timm naming + semantics (plain
+    efficientnet_b0 family: symmetric k//2 padding, SiLU, BN eps 1e-3,
+    SE reduced to round(block_input*0.25)), independent torch
+    re-implementation.  Two stages — one depthwise-separable (expand=1,
+    conv_dw->bn1->SE->conv_pw->bn2) and one inverted residual with two
+    repeats (conv_pw->bn1->conv_dw->bn2->SE->conv_pwl->bn3) — cover both
+    timm block layouts; the npz stores the timm-format state dict so the
+    test also pins timm_effnet_state_dict_to_tree."""
+    import torch.nn.functional as F
+
+    g_ = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g_, dtype=torch.float32) * 0.2
+
+    sd = {}
+
+    def make_bn(prefix, ch):
+        sd[f"{prefix}.weight"] = rand(ch) + 1.0
+        sd[f"{prefix}.bias"] = rand(ch)
+        sd[f"{prefix}.running_mean"] = rand(ch)
+        sd[f"{prefix}.running_var"] = rand(ch).abs() + 0.5
+
+    def bn(x, prefix):
+        m, v = sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"]
+        w_, b_ = sd[f"{prefix}.weight"], sd[f"{prefix}.bias"]
+        inv = (v + 1e-3).rsqrt()
+        return (x - m[:, None, None]) * inv[:, None, None] * w_[
+            :, None, None
+        ] + b_[:, None, None]
+
+    def se(x, prefix):
+        s = x.mean(dim=(2, 3), keepdim=True)
+        s = F.conv2d(s, sd[f"{prefix}.conv_reduce.weight"],
+                     sd[f"{prefix}.conv_reduce.bias"])
+        s = F.silu(s)
+        s = F.conv2d(s, sd[f"{prefix}.conv_expand.weight"],
+                     sd[f"{prefix}.conv_expand.bias"])
+        return x * torch.sigmoid(s)
+
+    stem, c0, c1, head = 8, 8, 16, 24
+    sd["conv_stem.weight"] = rand(stem, 3, 3, 3)
+    make_bn("bn1", stem)
+    # stage 0: DepthwiseSeparableConv (expand=1)
+    sd["blocks.0.0.conv_dw.weight"] = rand(stem, 1, 3, 3)
+    make_bn("blocks.0.0.bn1", stem)
+    sd["blocks.0.0.se.conv_reduce.weight"] = rand(2, stem, 1, 1)
+    sd["blocks.0.0.se.conv_reduce.bias"] = rand(2)
+    sd["blocks.0.0.se.conv_expand.weight"] = rand(stem, 2, 1, 1)
+    sd["blocks.0.0.se.conv_expand.bias"] = rand(stem)
+    sd["blocks.0.0.conv_pw.weight"] = rand(c0, stem, 1, 1)
+    make_bn("blocks.0.0.bn2", c0)
+    # stage 1: InvertedResidual x2 (expand=6, k=3, first stride 2)
+    inp = c0
+    for i in range(2):
+        p = f"blocks.1.{i}"
+        mid = inp * 6
+        red = max(1, int(inp * 0.25))
+        sd[f"{p}.conv_pw.weight"] = rand(mid, inp, 1, 1)
+        make_bn(f"{p}.bn1", mid)
+        sd[f"{p}.conv_dw.weight"] = rand(mid, 1, 3, 3)
+        make_bn(f"{p}.bn2", mid)
+        sd[f"{p}.se.conv_reduce.weight"] = rand(red, mid, 1, 1)
+        sd[f"{p}.se.conv_reduce.bias"] = rand(red)
+        sd[f"{p}.se.conv_expand.weight"] = rand(mid, red, 1, 1)
+        sd[f"{p}.se.conv_expand.bias"] = rand(mid)
+        sd[f"{p}.conv_pwl.weight"] = rand(c1, mid, 1, 1)
+        make_bn(f"{p}.bn3", c1)
+        inp = c1
+    sd["conv_head.weight"] = rand(head, c1, 1, 1)
+    make_bn("bn2", head)
+
+    x = rand(b, 3, image, image)
+
+    h = F.silu(bn(F.conv2d(x, sd["conv_stem.weight"], stride=2,
+                           padding=1), "bn1"))
+    # stage 0
+    d = F.conv2d(h, sd["blocks.0.0.conv_dw.weight"], padding=1,
+                 groups=stem)
+    d = F.silu(bn(d, "blocks.0.0.bn1"))
+    d = se(d, "blocks.0.0.se")
+    d = bn(F.conv2d(d, sd["blocks.0.0.conv_pw.weight"]),
+           "blocks.0.0.bn2")
+    h = d + h if stem == c0 else d
+    # stage 1
+    for i in range(2):
+        p = f"blocks.1.{i}"
+        stride = 2 if i == 0 else 1
+        mid_w = sd[f"{p}.conv_pw.weight"].shape[0]
+        m = F.silu(bn(F.conv2d(h, sd[f"{p}.conv_pw.weight"]),
+                      f"{p}.bn1"))
+        m = F.conv2d(m, sd[f"{p}.conv_dw.weight"], stride=stride,
+                     padding=1, groups=mid_w)
+        m = F.silu(bn(m, f"{p}.bn2"))
+        m = se(m, f"{p}.se")
+        m = bn(F.conv2d(m, sd[f"{p}.conv_pwl.weight"]), f"{p}.bn3")
+        h = m + h if (stride == 1 and h.shape[1] == m.shape[1]) else m
+    h = F.silu(bn(F.conv2d(h, sd["conv_head.weight"]), "bn2"))
+    feat = h.mean(dim=(2, 3))
+
+    arrays = {k.replace(".", "__"): v.numpy() for k, v in sd.items()}
+    np.savez(
+        os.path.join(HERE, "effnet_tower.npz"),
+        x=x.numpy(),
+        out=feat.numpy(),
+        image=np.asarray(image),
+        **arrays,
+    )
+    print("effnet_tower:", feat.shape, float(feat.abs().mean()))
+
+
 if __name__ == "__main__":
     gen_lora_post_scale_q()
     gen_adapter_double_mlp()
@@ -377,3 +633,5 @@ if __name__ == "__main__":
     gen_kadaptation_kron_attn()
     gen_lepe_attention()
     gen_rpb_attention()
+    gen_clip_rn_tower()
+    gen_effnet_tower()
