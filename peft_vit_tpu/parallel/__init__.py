@@ -15,11 +15,21 @@ from .collectives import (
     psum_mean,
     reduce_mean_metrics,
 )
+from .pipeline import (
+    PIPE_AXIS,
+    pipeline_apply,
+    stage_params,
+    unstage_params,
+)
 from .train_step import make_sharded_eval_step, make_sharded_train_step
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
+    "pipeline_apply",
+    "stage_params",
+    "unstage_params",
     "batch_sharding",
     "gather_features",
     "host_allgather",
