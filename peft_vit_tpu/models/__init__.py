@@ -5,15 +5,20 @@ from .classifier import (
     ImageClassifier,
 )
 from .clip import CLIP, clip_from_config
+from .clip_resnet import AttentionPool2d, ModifiedResNet
 from .convert import (
+    clip_rn_state_dict_to_tree,
     clip_state_dict_to_tree,
     graft,
+    infer_clip_rn_shape,
     infer_clip_shape,
     load_torch_checkpoint,
     stack_flat_blocks,
+    timm_effnet_state_dict_to_tree,
     timm_vit_state_dict_to_tree,
     unstack_flat_blocks,
 )
+from .efficientnet import EfficientNet
 from .factory import build_image_classifier, init_head_from_text
 from .registry import get_custom_builder, register_model
 from .hrnet import HRNet
@@ -36,8 +41,14 @@ from .vit import VisionTransformer
 from .vit_conv import ConvViT
 
 __all__ = [
+    "AttentionPool2d",
     "CLIP",
     "ClassifierHead",
+    "EfficientNet",
+    "ModifiedResNet",
+    "clip_rn_state_dict_to_tree",
+    "infer_clip_rn_shape",
+    "timm_effnet_state_dict_to_tree",
     "FeatureBatchNorm",
     "FrozenBatchNorm",
     "HRNet",
