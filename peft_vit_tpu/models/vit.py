@@ -316,6 +316,12 @@ class VisionTransformer(nn.Module):
         act = "quick_gelu" if self.style == "clip" else "gelu"
         num_prompts = spec.prompt_tokens
 
+        if stop_layer == 0 and start_layer == 0:
+            # embed-only: tokens before any block (the pipeline-parallel
+            # entry — parallel/pipeline.vit_pipeline_forward applies the
+            # stacked blocks externally, then re-enters at start_layer=L)
+            return x
+
         if self._can_scan(start_layer, stop_layer):
             scan_cls = nn.scan(
                 _BlockCell,

@@ -147,3 +147,79 @@ def pipeline_apply(
     )
     out = fn(staged, xmb)
     return out.reshape(b, *out.shape[2:])
+
+
+def vit_pipeline_forward(
+    model,
+    variables: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    axis: str = PIPE_AXIS,
+    batch_axis: str | None = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Forward an ImageClassifier whose VisionTransformer backbone was
+    built with ``scan_layers=True``, pipelining the block stack.
+
+    embed (conv1/pos/ln_pre) and head (ln_post/proj/classifier) run
+    replicated through the module itself (``stop_layer=0`` /
+    ``start_layer=L``); the stacked ``backbone/blocks`` params are
+    staged over ``axis`` and applied by ``pipeline_apply``.  With LoRA &
+    co. in the spec, the PEFT deltas ride the same pipeline (they live
+    in the block params), so ``jax.grad`` of a loss over the returned
+    logits trains pipelined.
+    """
+    from ..models.layers import Block
+
+    bk = model.backbone
+    assert getattr(bk, "scan_layers", False), (
+        "vit_pipeline_forward needs a scan_layers=True backbone "
+        "(stacked blocks)"
+    )
+    n_stages = mesh.shape[axis]
+    staged = stage_params(
+        variables["params"]["backbone"]["blocks"], n_stages
+    )
+    n_prefix = 1 + (bk.spec.prompt_tokens or 0)
+    block = Block(
+        bk.width,
+        bk.heads,
+        mlp_ratio=bk.mlp_ratio,
+        act="quick_gelu" if bk.style == "clip" else "gelu",
+        spec=bk.spec,
+        layer_idx=0,
+        grid_size=bk.grid_size,
+        n_prefix=n_prefix,
+        use_flash=bk.use_flash,
+        softmax_fp32=bk.softmax_fp32,
+        int8=bk.int8,
+        attn_batch_chunk=bk.attn_batch_chunk,
+        drop_path=0.0,
+        ln_fp32=bk.ln_fp32,
+        dtype=bk.dtype,
+        param_dtype=bk.param_dtype,
+    )
+
+    def block_fn(p, h):
+        return block.apply({"params": p["block"]}, h, deterministic)
+
+    tokens = model.apply(
+        variables,
+        x,
+        not deterministic,
+        method=lambda m, xx, tr: m.backbone(xx, not tr, True, 0, 0),
+    )
+    tokens = pipeline_apply(
+        block_fn,
+        staged,
+        tokens,
+        mesh=mesh,
+        microbatches=microbatches,
+        axis=axis,
+        batch_axis=batch_axis,
+    )
+    return model.apply(
+        variables, tokens, not deterministic, bk.layers
+    )

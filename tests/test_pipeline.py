@@ -128,6 +128,78 @@ class TestPipeline:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
 
+    def test_vit_pipeline_forward_matches_plain(self):
+        """The real flagship model (scan_layers ViT + LoRA + head):
+        pipelined logits == plain logits, and grads w.r.t. the full
+        variables flow through the staged reshape."""
+        from peft_vit_tpu.models import (
+            ImageClassifier,
+            VisionTransformer,
+        )
+        from peft_vit_tpu.parallel.pipeline import vit_pipeline_forward
+        from peft_vit_tpu.peft import PEFTSpec
+
+        spec = PEFTSpec(
+            method="lora",
+            attn_delta="lora",
+            lora_rank=2,
+            lora_alpha=8.0,
+            lora_post_scale_q=True,
+        )
+        model = ImageClassifier(
+            backbone=VisionTransformer(
+                image_size=32,
+                patch_size=16,
+                width=D,
+                layers=L,
+                heads=H,
+                style="clip",
+                output_dim=8,
+                spec=spec,
+                use_flash=False,
+                scan_layers=True,
+            ),
+            num_classes=5,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(4)
+            .randn(4, 32, 32, 3)
+            .astype(np.float32)
+        )
+        variables = {
+            "params": model.init(jax.random.PRNGKey(0), x)["params"]
+        }
+        # LoRA B-matrices init to zero; perturb so deltas matter
+        variables = jax.tree_util.tree_map(
+            lambda t: t + 0.01, variables
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+        want = model.apply(variables, x, False)
+        got = vit_pipeline_forward(
+            model, variables, x, mesh=mesh, microbatches=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+        def loss_pipe(v):
+            out = vit_pipeline_forward(
+                model, v, x, mesh=mesh, microbatches=2
+            )
+            return jnp.mean(out**2)
+
+        def loss_plain(v):
+            return jnp.mean(model.apply(v, x, False) ** 2)
+
+        g_pipe = jax.grad(loss_pipe)(variables)
+        g_plain = jax.grad(loss_plain)(variables)
+        flat_p = jax.tree_util.tree_leaves(g_pipe)
+        flat_q = jax.tree_util.tree_leaves(g_plain)
+        for a, b in zip(flat_p, flat_q):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+            )
+
     def test_jit_train_step_with_sharded_params(self, stack):
         """A jitted SGD step over pipe-sharded device arrays executes
         and decreases the loss."""
