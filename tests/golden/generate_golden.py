@@ -626,6 +626,115 @@ def gen_effnet_tower(seed=7, b=2, image=32):
     print("effnet_tower:", feat.shape, float(feat.abs().mean()))
 
 
+def gen_shared_qkv_adapter(seed=8, b=2, n=5, d=16, h=4):
+    """Shared per-head qkv adapter (cls_vit_lora_adapter.py:175-194):
+    ONE Adapter(head_dim) — LN -> down(head_dim/2) -> relu -> up,
+    +residual — applied to each of q, k, v AFTER the head split, then
+    standard scaled attention."""
+    g_ = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g_, dtype=torch.float32) * 0.2
+
+    hd = d // h
+    x = rand(b, n, d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    ln_w, ln_b = rand(hd) + 1.0, rand(hd)
+    w_down, b_down = rand(hd // 2, hd), rand(hd // 2)
+    w_up, b_up = rand(hd, hd // 2), rand(hd)
+    w_out, b_out = rand(d, d), rand(d)
+
+    def ln(t, w, bias):
+        mu = t.mean(-1, keepdim=True)
+        var = t.var(-1, unbiased=False, keepdim=True)
+        return (t - mu) / torch.sqrt(var + 1e-5) * w + bias
+
+    def adapter(t):
+        z = ln(t, ln_w, ln_b)
+        z = torch.relu(z @ w_down.T + b_down)
+        return z @ w_up.T + b_up + t
+
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    qh, kh, vh = adapter(heads(q)), adapter(heads(k)), adapter(heads(v))
+    attn = torch.softmax(qh @ kh.transpose(-2, -1) * hd**-0.5, dim=-1)
+    out = (attn @ vh).permute(0, 2, 1, 3).reshape(b, n, d)
+    out = out @ w_out.T + b_out
+
+    np.savez(
+        os.path.join(HERE, "shared_qkv_adapter.npz"),
+        x=x.numpy(),
+        w_qkv=w_qkv.numpy(), b_qkv=b_qkv.numpy(),
+        ln_w=ln_w.numpy(), ln_b=ln_b.numpy(),
+        w_down=w_down.numpy(), b_down=b_down.numpy(),
+        w_up=w_up.numpy(), b_up=b_up.numpy(),
+        w_out=w_out.numpy(), b_out=b_out.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+    )
+    print("shared_qkv_adapter:", out.shape, float(out.abs().mean()))
+
+
+def gen_lora_moe_gate(seed=9, b=2, n=5, d=16, h=4, r=4, group=2,
+                      alpha=8.0, lam=1.5):
+    """MoE-gated LoRA delta (lora_model.py:491-515 adapter_forward with
+    g_weight): the rank axis viewed as (r/group, group), scaled by
+    sigmoid(x @ G.T) * lambda per expert, then up-projected * alpha/r;
+    injected with the CLIP post-scale-q quirk on q and v."""
+    g_ = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        return torch.randn(*shape, generator=g_, dtype=torch.float32) * 0.2
+
+    experts = r // group
+    x = rand(b, n, d)
+    w_qkv, b_qkv = rand(3 * d, d), rand(3 * d)
+    a_q, b_q, g_q = rand(r, d), rand(d, r), rand(experts, d)
+    a_v, b_v, g_v = rand(r, d), rand(d, r), rand(experts, d)
+    w_out, b_out = rand(d, d), rand(d)
+
+    def delta(w1, w2, gw):
+        res = x @ w1.T  # (b, n, r)
+        g = torch.sigmoid(x @ gw.T) * lam  # (b, n, experts)
+        res = res.view(b, n, experts, group) * g.unsqueeze(-1)
+        return res.view(b, n, r) @ w2.T * (alpha / r)
+
+    hd = d // h
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = qkv.split(d, dim=-1)
+    q = q / hd**0.5 + delta(a_q, b_q, g_q)  # post-scale-q quirk
+    v = v + delta(a_v, b_v, g_v)
+
+    def heads(t):
+        return t.reshape(b, n, h, hd).permute(0, 2, 1, 3)
+
+    attn = torch.softmax(
+        heads(q) @ heads(k).transpose(-2, -1), dim=-1
+    )
+    out = (attn @ heads(v)).permute(0, 2, 1, 3).reshape(b, n, d)
+    out = out @ w_out.T + b_out
+
+    np.savez(
+        os.path.join(HERE, "lora_moe_gate.npz"),
+        x=x.numpy(),
+        w_qkv=w_qkv.numpy(), b_qkv=b_qkv.numpy(),
+        a_q=a_q.numpy(), b_q=b_q.numpy(), g_q=g_q.numpy(),
+        a_v=a_v.numpy(), b_v=b_v.numpy(), g_v=g_v.numpy(),
+        w_out=w_out.numpy(), b_out=b_out.numpy(),
+        out=out.numpy(),
+        heads=np.asarray(h),
+        rank=np.asarray(r),
+        group=np.asarray(group),
+        alpha=np.asarray(alpha),
+        lam=np.asarray(lam),
+    )
+    print("lora_moe_gate:", out.shape, float(out.abs().mean()))
+
+
 if __name__ == "__main__":
     gen_lora_post_scale_q()
     gen_adapter_double_mlp()
@@ -635,3 +744,5 @@ if __name__ == "__main__":
     gen_rpb_attention()
     gen_clip_rn_tower()
     gen_effnet_tower()
+    gen_shared_qkv_adapter()
+    gen_lora_moe_gate()

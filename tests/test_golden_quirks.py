@@ -185,6 +185,86 @@ class TestPositionalGolden:
         )
 
 
+class TestAttnAdapterGolden:
+    def test_shared_qkv_adapter(self):
+        """One Adapter(head_dim) shared by q, k, v after the head split
+        (cls_vit_lora_adapter.py:175-194), pinned against the torch
+        golden."""
+        g = np.load(os.path.join(GOLDEN, "shared_qkv_adapter.npz"))
+        d = g["x"].shape[-1]
+        spec = PEFTSpec(method="adapter", attn_adapter="shared_qkv")
+        m = MultiHeadAttention(
+            d, int(g["heads"]), spec=spec, use_flash=False
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(g["x"]))[
+            "params"
+        ]
+        params = _set(
+            params,
+            {
+                "in_proj/kernel": g["w_qkv"].T,
+                "in_proj/bias": g["b_qkv"],
+                "qkv_adapter/adapter_norm_before/scale": g["ln_w"],
+                "qkv_adapter/adapter_norm_before/bias": g["ln_b"],
+                "qkv_adapter/down/kernel": g["w_down"].T,
+                "qkv_adapter/down/bias": g["b_down"],
+                "qkv_adapter/up/kernel": g["w_up"].T,
+                "qkv_adapter/up/bias": g["b_up"],
+                "out_proj/kernel": g["w_out"].T,
+                "out_proj/bias": g["b_out"],
+            },
+        )
+        out = m.apply({"params": params}, jnp.asarray(g["x"]))
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], rtol=1e-5, atol=1e-5
+        )
+
+    def test_lora_moe_gate(self):
+        """MoE-gated LoRA delta (adapter_forward with g_weight,
+        lora_model.py:491-515): rank axis grouped (experts, group),
+        sigmoid gate * lambda, post-scale-q injection."""
+        g = np.load(os.path.join(GOLDEN, "lora_moe_gate.npz"))
+        d = g["x"].shape[-1]
+        spec = PEFTSpec(
+            method="lora_moe",
+            attn_delta="lora",
+            lora_rank=int(g["rank"]),
+            lora_alpha=float(g["alpha"]),
+            lora_post_scale_q=True,
+            lora_targets=("q", "v"),
+            lora_moe=True,
+            lora_moe_group=int(g["group"]),
+            lora_moe_act="sigmoid",
+            lora_moe_lambda=float(g["lam"]),
+            lora_moe_softmax=False,
+        )
+        m = MultiHeadAttention(
+            d, int(g["heads"]), spec=spec, use_flash=False
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(g["x"]))[
+            "params"
+        ]
+        params = _set(
+            params,
+            {
+                "in_proj/kernel": g["w_qkv"].T,
+                "in_proj/bias": g["b_qkv"],
+                "q_adapter1/kernel": g["a_q"].T,
+                "q_adapter2/kernel": g["b_q"].T,
+                "q_moe_adapter1/kernel": g["g_q"].T,
+                "v_adapter1/kernel": g["a_v"].T,
+                "v_adapter2/kernel": g["b_v"].T,
+                "v_moe_adapter1/kernel": g["g_v"].T,
+                "out_proj/kernel": g["w_out"].T,
+                "out_proj/bias": g["b_out"],
+            },
+        )
+        out = m.apply({"params": params}, jnp.asarray(g["x"]))
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], rtol=1e-5, atol=1e-5
+        )
+
+
 class TestCompacterGolden:
     def test_compacter_phm_adapter(self):
         """PHM semantics pinned against the independent torch golden:
