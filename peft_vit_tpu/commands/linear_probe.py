@@ -33,12 +33,13 @@ def logistic_main(cfg, out_dir: str) -> float:
     model, variables, _ = build_image_classifier(
         cfg, PEFTSpec(), splits.num_classes
     )
-    params = variables["params"]
+
+    from ..models.factory import backbone_eval_variables
+
+    eval_vars = backbone_eval_variables(variables)
 
     def encode_image(x):
-        return model.backbone.apply(
-            {"params": params["backbone"]}, jnp.asarray(x)
-        )
+        return model.backbone.apply(eval_vars, jnp.asarray(x))
 
     cache_dir = os.path.join(out_dir, "feature_cache")
     batch = int(cfg.TEST.BATCH_SIZE_PER_GPU)

@@ -32,18 +32,18 @@ def zeroshot_main(cfg) -> float:
     model, variables, encode_text = build_image_classifier(
         cfg, PEFTSpec(), splits.num_classes
     )
-    params = variables["params"]
     if encode_text is None:
         raise ValueError(
             "zero-shot evaluation needs a CLIP checkpoint with a text "
             "tower (MODEL.PRETRAINED)"
         )
 
+    from ..models.factory import backbone_eval_variables
+
+    eval_vars = backbone_eval_variables(variables)
+
     def encode_image(x):
-        feats = model.backbone.apply(
-            {"params": params["backbone"]}, jnp.asarray(x)
-        )
-        return feats
+        return model.backbone.apply(eval_vars, jnp.asarray(x))
 
     img_feats = extract_image_features(
         encode_image,

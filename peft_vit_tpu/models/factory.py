@@ -513,6 +513,20 @@ def build_image_classifier(
     return model, variables, encode_text
 
 
+def backbone_eval_variables(variables: dict) -> dict:
+    """The backbone submodule's variables for a deterministic forward.
+
+    BN backbones (CLIP ModifiedResNet, EfficientNet, cls_resnet...) carry
+    a ``batch_stats`` collection the eval apply must receive alongside
+    ``params``; pure-LN towers (ViT/Swin) have none.
+    """
+    ev = {"params": variables["params"]["backbone"]}
+    stats = variables.get("batch_stats")
+    if stats is not None and "backbone" in stats:
+        ev["batch_stats"] = stats["backbone"]
+    return ev
+
+
 def init_head_from_text(
     params: dict,
     text_features: np.ndarray,

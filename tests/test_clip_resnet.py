@@ -139,6 +139,26 @@ class TestFactory:
             not np.allclose(a, b) for a, b in zip(before, after)
         )
 
+    def test_probe_feature_extraction_path(self):
+        """The probe/zero-shot closures must hand the BN tower its
+        batch_stats collection (backbone_eval_variables)."""
+        from peft_vit_tpu.models.factory import (
+            backbone_eval_variables,
+            build_image_classifier,
+        )
+        from peft_vit_tpu.peft import spec_from_config
+
+        cfg = rn_tiny_cfg()
+        model, variables, _ = build_image_classifier(
+            cfg, spec_from_config(cfg), 5
+        )
+        ev = backbone_eval_variables(variables)
+        assert "batch_stats" in ev
+        feats = model.backbone.apply(
+            ev, jnp.zeros((2, 32, 32, 3), jnp.float32)
+        )
+        assert feats.shape == (2, 16)
+
     def test_peft_masks_apply(self):
         from peft_vit_tpu.models.factory import build_image_classifier
         from peft_vit_tpu.peft import (
