@@ -37,7 +37,11 @@ _C["AMP"] = CN({"ENABLED": False, "MEMORY_FORMAT": "nchw"})
 # TPU execution knobs (new; replaces CUDNN group semantics).
 _C["TPU"] = CN(
     {
-        "MESH": CN({"DATA": -1, "MODEL": 1}, new_allowed=True),
+        # PIPE > 1 adds a pipeline axis: the scan-layers block stack is
+        # staged over it (parallel/pipeline.py GPipe schedule);
+        # PP_MICROBATCHES 0 = one microbatch per stage
+        "MESH": CN({"DATA": -1, "MODEL": 1, "PIPE": 1}, new_allowed=True),
+        "PP_MICROBATCHES": 0,
         "COMPUTE_DTYPE": "bfloat16",
         "PARAM_DTYPE": "float32",
         "REMAT": True,  # rematerialize frozen-backbone activations

@@ -98,6 +98,26 @@ class Trainer:
         self.mesh = mesh
         self.has_bn = bool(batch_stats)
 
+        # TPU.MESH.PIPE > 1: pipeline the scan-layers block stack over
+        # the mesh's pipe axis (parallel/pipeline.py GPipe schedule)
+        self.pipeline = 0
+        if mesh is not None and "pipe" in mesh.axis_names:
+            self.pipeline = int(mesh.shape["pipe"])
+            if self.pipeline > 1:
+                if not getattr(model.backbone, "scan_layers", False):
+                    raise ValueError(
+                        "TPU.MESH.PIPE > 1 needs TPU.SCAN_LAYERS=True "
+                        "(the pipeline stages the stacked block params)"
+                    )
+                if self.has_bn:
+                    raise ValueError(
+                        "pipeline parallelism supports LN towers only "
+                        "(no batch_stats)"
+                    )
+        self.pp_microbatches = (
+            int(cfg.TPU.get("PP_MICROBATCHES", 0)) or self.pipeline or 1
+        )
+
         trainable, frozen = split_params(params, mask)
         # the jitted step donates the state (trainable/opt/batch_stats):
         # copy what we were handed so donation never deletes caller-owned
@@ -192,6 +212,9 @@ class Trainer:
         swa_begin = int(cfg.SWA.BEGIN_EPOCH)
 
         has_bn = self.has_bn
+        pipeline = self.pipeline
+        pp_mesh = self.mesh
+        pp_microbatches = self.pp_microbatches
 
         transform = self.train_transform
         norm_mean, norm_std = self._norm_mean, self._norm_std
@@ -234,6 +257,19 @@ class Trainer:
                     variables, x, True, mutable=["batch_stats"]
                 )
                 new_stats = updates["batch_stats"]
+            elif pipeline > 1:
+                from ..parallel.pipeline import vit_pipeline_forward
+
+                logits = vit_pipeline_forward(
+                    model,
+                    variables,
+                    x,
+                    mesh=pp_mesh,
+                    microbatches=pp_microbatches,
+                    batch_axis="data",
+                    deterministic=False,
+                )
+                new_stats = batch_stats
             else:
                 logits = model.apply(variables, x, True)
                 new_stats = batch_stats

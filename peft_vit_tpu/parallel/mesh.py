@@ -19,20 +19,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """data=-1 uses all remaining devices."""
+    """data=-1 uses all remaining devices.  pipe > 1 appends a third
+    ``pipe`` axis (pipeline parallelism, parallel/pipeline.py); the
+    default 2-axis (data, model) mesh is unchanged otherwise."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
-        data = n // model
-    assert data * model == n, (data, model, n)
+        assert n % (model * pipe) == 0, (n, model, pipe)
+        data = n // (model * pipe)
+    assert data * model * pipe == n, (data, model, pipe, n)
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(data, model, pipe)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -41,6 +48,7 @@ def mesh_from_config(cfg, devices=None) -> Mesh:
     return make_mesh(
         data=int(cfg.TPU.MESH.DATA),
         model=int(cfg.TPU.MESH.MODEL),
+        pipe=int(cfg.TPU.MESH.get("PIPE", 1)),
         devices=devices,
     )
 

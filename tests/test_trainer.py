@@ -575,3 +575,63 @@ class TestScanModeWithMesh:
             batch_iterator(x, y, 8, shuffle=False, drop_last=False)
         )
         assert acc > 30.0, acc
+
+
+class TestPipelineTrainer:
+    """TPU.MESH.PIPE > 1 through the full-shot Trainer: the scan-layers
+    block stack is staged over the pipe axis (parallel/pipeline.py) and
+    the loss trajectory matches the plain trainer exactly."""
+
+    def test_pipeline_trainer_matches_plain(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from peft_vit_tpu.parallel import make_mesh
+
+        def build():
+            vit = VisionTransformer(
+                image_size=16, patch_size=8, width=32, layers=4,
+                heads=2, style="timm", spec=PEFTSpec(),
+                use_flash=False, scan_layers=True,
+            )
+            model = ImageClassifier(backbone=vit, num_classes=4)
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+            )["params"]
+            mask = build_mask(params, "full", num_layers=4)
+            return model, params, mask
+
+        x, y = synthetic_dataset(4, 16, 16)
+        x = x.astype(np.float32) / 255.0
+
+        def run(mesh):
+            cfg = make_cfg(**{"TRAIN.LR": 0.05, "PRINT_FREQ": 1})
+            model, params, mask = build()
+            tr = Trainer(
+                cfg, model, params, mask, steps_per_epoch=8,
+                mesh=mesh, rng=jax.random.PRNGKey(7),
+            )
+            losses = []
+            for e in range(2):
+                s = tr.train_one_epoch(
+                    batch_iterator(x, y, 8, seed=e), epoch=e
+                )
+                losses.append(s["loss"])
+            return losses
+
+        pp_mesh = make_mesh(data=2, model=1, pipe=4)
+        losses_pp = run(pp_mesh)
+        losses_plain = run(None)
+        np.testing.assert_allclose(losses_pp, losses_plain, rtol=2e-4)
+
+    def test_pipe_without_scan_layers_rejected(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from peft_vit_tpu.parallel import make_mesh
+
+        cfg = make_cfg()
+        model, params, mask = setup(cfg)  # scan_layers=False
+        with pytest.raises(ValueError, match="SCAN_LAYERS"):
+            Trainer(
+                cfg, model, params, mask, steps_per_epoch=8,
+                mesh=make_mesh(data=2, model=1, pipe=4),
+            )
