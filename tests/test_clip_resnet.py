@@ -180,3 +180,34 @@ class TestFactory:
             x.size for x in jax.tree_util.tree_leaves(variables["params"])
         )
         assert 0 < n_train < n_total
+
+
+class TestProbeEndToEnd:
+    """BN towers through the actual probe command (the reference's
+    workload for RN50/efficientnet backbones: frozen-feature probes,
+    feature.py:221-260)."""
+
+    @pytest.mark.parametrize("name", ["RN50", "efficientnet_b0"])
+    def test_logistic_probe_e2e(self, name, tmp_path):
+        from peft_vit_tpu.commands.linear_probe import logistic_main
+
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "synthetic"
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.DATASET.NUM_SAMPLES_PER_CLASS = 4
+        cfg.TRAIN.IMAGE_SIZE = [32, 32]
+        cfg.TEST.BATCH_SIZE_PER_GPU = 8
+        cfg.MODEL.NAME = name
+        if name == "RN50":
+            cfg.MODEL.SPEC.EMBED_DIM = 16
+            cfg.MODEL.SPEC.VISION.MODEL = "resnet"
+            cfg.MODEL.SPEC.VISION.WIDTH = 8
+            cfg.MODEL.SPEC.VISION.LAYERS = [1, 1, 1, 1]
+            cfg.MODEL.SPEC.VISION.HEADS = 4
+        else:
+            cfg.MODEL.SPEC.VISION.MODEL = "efficientnet"
+            cfg.MODEL.SPEC.VISION.WIDTH_MULT = 0.25
+            cfg.MODEL.SPEC.VISION.DEPTH_MULT = 0.25
+            cfg.MODEL.SPEC.VISION.HEAD_CH = 32
+        acc = logistic_main(cfg, str(tmp_path))
+        assert np.isfinite(acc) and 0.0 <= acc <= 100.0
