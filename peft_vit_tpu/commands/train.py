@@ -160,8 +160,11 @@ def train_main(cfg) -> float:
         # arrays and the Trainer does ONE transfer + dispatch per chunk.
         from ..data.streaming import host_prefetch
 
-        train_batches = lambda e: host_prefetch(
-            train_src.batches(e), depth=2
+        # the optional 2nd arg lets the Trainer resume a preempted epoch
+        # mid-stream: the source seeks past the trained prefix without
+        # decoding it (data/streaming.py skip_batches)
+        train_batches = lambda e, skip=0: host_prefetch(
+            train_src.batches(e, skip_batches=skip), depth=2
         )
         if eval_src is not None:
             eval_batches = lambda: eval_src.device_batches(0)

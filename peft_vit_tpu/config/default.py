@@ -279,6 +279,11 @@ _C["TRAIN"] = CN(
     {
         "AUTO_RESUME": True,
         "CHECKPOINT": "",
+        # > 0: also checkpoint every N optimizer steps WITHIN an epoch
+        # (exact-step preemption-tolerant resume: data order, flips and
+        # the host RNG stream continue as if never interrupted).  The
+        # reference resumes at epoch granularity only.
+        "CHECKPOINT_EVERY_STEPS": 0,
         "LR_SCHEDULER": CN({"METHOD": "step"}, new_allowed=True),
         "SCHEDULE": [],
         "LR": 0.001,

@@ -270,11 +270,20 @@ class StreamingSource:
             return x_u8
         return (x_u8.astype(np.float32) - self.mean) / self.std
 
-    def batches(self, epoch: int = 0):
+    def batches(self, epoch: int = 0, skip_batches: int = 0):
         """One epoch of normalized (x, y) host batches.
 
         Train: sampler-ordered, per-process shard, drop_last, random
-        horizontal flip.  Eval: sequential, partial final batch kept."""
+        horizontal flip.  Eval: sequential, partial final batch kept.
+
+        ``skip_batches`` resumes a preempted epoch mid-stream WITHOUT
+        decoding the already-trained prefix: the per-epoch order is
+        deterministic, so the first ``skip_batches * batch`` samples are
+        trimmed from the order (the flip RNG is burned in lockstep so the
+        remainder sees the exact flips of an uninterrupted epoch).  The
+        Trainer only checkpoints at dispatch boundaries, so the skip is
+        always chunk-aligned in scan mode; a misaligned request is an
+        error rather than a silently different data order."""
         if self.train:
             order = build_order(
                 self.sampler,
@@ -293,6 +302,17 @@ class StreamingSource:
                 order = order[: self.samples_this_process]
             rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
             big = self.batch * self.chunk
+            if skip_batches:
+                skip = int(skip_batches) * self.batch
+                if skip % big:
+                    raise ValueError(
+                        f"skip_batches={skip_batches} is not aligned to "
+                        f"the {self.chunk}-step dispatch chunk"
+                    )
+                order = order[skip:]
+                if self.flip and self.normalize:
+                    for _ in range(skip // big):
+                        rng.rand(big)  # keep flip masks epoch-identical
             for x, y, count in self.loader.epoch(epoch, order=order):
                 tail = count < big
                 n_full = count // self.batch  # full batches in the tail

@@ -33,7 +33,12 @@ from .ema import (
 )
 from .mixup import cutmix, mixup, mixup_cutmix
 from .metrics import get_metric, metric_for_dataset, topk_accuracy
-from .trainer import FullTrainState, Trainer, batch_iterator
+from .trainer import (
+    FullTrainState,
+    PreemptedError,
+    Trainer,
+    batch_iterator,
+)
 from .zeroshot import (
     clip_zeroshot_evaluator,
     extract_image_features,
@@ -73,6 +78,7 @@ from .cached import (
 __all__ = [
     "ArrayTask",
     "FullTrainState",
+    "PreemptedError",
     "Trainer",
     "batch_iterator",
     "clip_contrastive_step_fn",

@@ -25,15 +25,26 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+_managers: Dict[str, Any] = {}
+
+
 def _manager(directory: str, max_to_keep: int = 3):
+    # one manager per directory, cached: async (wait=False) saves stay
+    # owned by a live manager, and consecutive saves to the same dir
+    # serialize through it instead of racing across fresh instances
     import orbax.checkpoint as ocp
 
-    return ocp.CheckpointManager(
-        os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True
-        ),
-    )
+    key = os.path.abspath(directory)
+    mgr = _managers.get(key)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(
+            key,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        _managers[key] = mgr
+    return mgr
 
 
 def save_checkpoint(
@@ -41,8 +52,15 @@ def save_checkpoint(
     step: int,
     state: Dict[str, Any],
     is_master: Optional[bool] = None,
+    wait: bool = True,
 ) -> None:
-    """state: any pytree dict (trainable, opt, ema, swa, epoch, perf)."""
+    """state: any pytree dict (trainable, opt, ema, swa, epoch, perf).
+
+    ``wait=False`` returns as soon as Orbax has snapshotted the arrays to
+    host (safe even with donated device buffers) and lets the disk write
+    proceed in the background — mid-epoch preemption checkpoints overlap
+    IO with training this way; Orbax serializes back-to-back saves
+    itself."""
     import orbax.checkpoint as ocp
 
     if is_master is None:
@@ -54,9 +72,23 @@ def save_checkpoint(
     # primary process only — the reference's rank-0-only semantics
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
+    if wait:
+        mgr.wait_until_finished()
     if is_master:
-        logger.info("=> saved checkpoint step %d to %s", step, directory)
+        logger.info(
+            "=> saved checkpoint step %d to %s%s",
+            step,
+            directory,
+            "" if wait else " (async)",
+        )
+
+
+def wait_for_saves(directory: str) -> None:
+    """Block until any async (wait=False) save to `directory` has hit
+    disk — call before process exit or before reading the directory."""
+    mgr = _managers.get(os.path.abspath(directory))
+    if mgr is not None:
+        mgr.wait_until_finished()
 
 
 def latest_step(directory: str) -> Optional[int]:
@@ -76,15 +108,32 @@ def checkpoint_keys(
 ) -> Optional[set]:
     """Top-level keys stored in the latest checkpoint (None if unknown).
     Lets resume tolerate checkpoints that predate newly-tracked state
-    (swa/ema/batch_stats) — absent keys stay freshly initialized."""
+    (swa/ema/batch_stats/rng/batch_in_epoch) — absent keys stay freshly
+    initialized.  Reads the StandardSave item's ``_METADATA`` tree file
+    directly: ``CheckpointManager.item_metadata`` needs a handler
+    registry the bare manager doesn't have."""
+    import json
+
     step = step if step is not None else latest_step(directory)
     if step is None:
         return None
+    path = os.path.join(
+        os.path.abspath(directory), str(step), "default", "_METADATA"
+    )
     try:
-        meta = _manager(directory).item_metadata(step)
-        return set(meta.keys()) if hasattr(meta, "keys") else None
+        with open(path) as f:
+            meta = json.load(f)
+        keys = {
+            entry["key_metadata"][0]["key"]
+            for entry in meta["tree_metadata"].values()
+        }
+        return keys or None
     except Exception:
-        return None
+        try:
+            m = _manager(directory).item_metadata(step)
+            return set(m.keys()) if hasattr(m, "keys") else None
+        except Exception:
+            return None
 
 
 def restore_checkpoint(

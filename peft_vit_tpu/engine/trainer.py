@@ -56,6 +56,11 @@ def _host_view(a):
     return np.asarray(a)
 
 
+class PreemptedError(RuntimeError):
+    """Raised after a SIGTERM-triggered checkpoint: the run stopped
+    cleanly at a dispatch boundary and will resume at that exact batch."""
+
+
 class FullTrainState(NamedTuple):
     trainable: Any
     opt_state: Any
@@ -197,6 +202,10 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_fn)
+        # set by the SIGTERM handler fit() installs (TPU preemption
+        # notice): train_one_epoch checkpoints at the next dispatch
+        # boundary and raises PreemptedError
+        self._preempted = False
 
     # -- jitted steps --------------------------------------------------------
 
@@ -403,6 +412,20 @@ class Trainer:
 
         return _threaded_pipe(batches, put, depth)
 
+    def _preempt_agreed(self) -> bool:
+        """Preemption decision at a dispatch boundary.  Multi-host: the
+        SIGTERM can land between different boundaries on different hosts,
+        and the checkpoint save is a collective — OR-reduce the local
+        flags so every process saves at the SAME boundary (or none does)."""
+        if jax.process_count() == 1:
+            return self._preempted
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(self._preempted, np.int32)
+        )
+        return bool(np.max(flags))
+
     def _check_finite(self, epoch, i, x, y):
         """Abort with a forensic dump when any step since init went
         non-finite (state.finite ANDs isfinite(loss) across ALL steps,
@@ -421,10 +444,22 @@ class Trainer:
         )
 
     def train_one_epoch(
-        self, batches: Iterator[Tuple[np.ndarray, np.ndarray]], epoch: int
+        self,
+        batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+        epoch: int,
+        start_batch: int = 0,
+        checkpoint_dir: Optional[str] = None,
     ) -> Dict[str, float]:
         cfg = self.cfg
         losses, seen = [], 0
+        # raw-batch position inside the epoch (starts past a resumed
+        # prefix); mid-epoch checkpoints record it for exact-step resume
+        consumed = int(start_batch)
+        ckpt_every = (
+            int(cfg.TRAIN.get("CHECKPOINT_EVERY_STEPS", 0))
+            if checkpoint_dir
+            else 0
+        )
         t_start = time.time()
         k_disp = int(cfg.TPU.get("STEPS_PER_DISPATCH", 1))
         if k_disp > 1:
@@ -452,6 +487,7 @@ class Trainer:
                 )
                 x, y = xs, ys
                 seen += xs.shape[0] * xs.shape[1]
+                k_item = xs.shape[0]
                 loss = loss[-1]
             else:
                 x, y = item
@@ -464,6 +500,40 @@ class Trainer:
                     jnp.asarray(epoch),
                 )
                 seen += x.shape[0]
+                k_item = 1
+            consumed += k_item
+            at_boundary = k_disp == 1 or k_item == k_disp
+            if (
+                ckpt_every > 0
+                and (consumed // ckpt_every) > ((consumed - k_item) // ckpt_every)
+                # scan mode: save only at whole-chunk boundaries so the
+                # recorded position stays chunk-aligned (the streaming
+                # source's decode-free skip requires it); the ragged
+                # epoch tail is covered by the end-of-epoch save
+                and at_boundary
+            ):
+                # crossed a CHECKPOINT_EVERY_STEPS multiple: persist an
+                # exact-step resume point.  wait=False: Orbax snapshots
+                # the arrays to host before returning (safe w.r.t. the
+                # donated train state) and writes to disk in the
+                # background, overlapping IO with the next dispatches
+                self._check_finite(epoch, i, x, y)
+                self.save(
+                    checkpoint_dir,
+                    epoch,
+                    batch_in_epoch=consumed,
+                    wait=False,
+                )
+            if checkpoint_dir and at_boundary and self._preempt_agreed():
+                # SIGTERM (TPU preemption notice): flush an exact-step
+                # checkpoint and stop cleanly — the restarted job resumes
+                # this very batch
+                self._check_finite(epoch, i, x, y)
+                self.save(checkpoint_dir, epoch, batch_in_epoch=consumed)
+                raise PreemptedError(
+                    f"SIGTERM: checkpointed at epoch {epoch} "
+                    f"batch {consumed} and stopped"
+                )
             if (i + 1) % int(cfg.PRINT_FREQ) == 0 or i == 0:
                 loss_v = float(loss)  # host fetch = sync point
                 losses.append(loss_v)
@@ -480,7 +550,7 @@ class Trainer:
         # end-of-epoch check covers steps after the last PRINT_FREQ fetch
         self._check_finite(epoch, i, x, y)
         dt = time.time() - t_start
-        if i < 0:
+        if i < 0 and start_batch == 0:
             logger.warning(
                 "Epoch[%d]: input pipeline yielded ZERO batches "
                 "(dataset smaller than the global batch?)",
@@ -608,13 +678,22 @@ class Trainer:
 
     # -- checkpointing ---------------------------------------------------------
 
-    def _ckpt_state(self, epoch: int = 0) -> Dict[str, Any]:
+    def _ckpt_state(
+        self, epoch: int = 0, batch_in_epoch: int = 0
+    ) -> Dict[str, Any]:
         s = self.state
         out = {
             "trainable": s.trainable,
             "opt_state": s.opt_state,
             "step": s.step,
             "epoch": jnp.asarray(epoch, jnp.int32),
+            # preemption-tolerant resume: raw batches already trained in
+            # `epoch` (0 = the epoch is complete) + the host RNG key, so a
+            # resumed run replays the exact remaining data order and
+            # augmentation stream (the reference resumes only at epoch
+            # granularity, lib/utils/utils.py:101-203)
+            "batch_in_epoch": jnp.asarray(batch_in_epoch, jnp.int32),
+            "rng": self.rng,
         }
         if s.ema is not None:
             out["ema_shadow"] = s.ema.shadow
@@ -639,8 +718,35 @@ class Trainer:
             np.asarray(v), self.mesh, PartitionSpec()
         )
 
-    def save(self, directory: str, epoch: int) -> None:
-        save_checkpoint(directory, epoch, self._ckpt_state(epoch))
+    def save(
+        self,
+        directory: str,
+        epoch: int,
+        batch_in_epoch: int = 0,
+        wait: bool = True,
+    ) -> None:
+        # index by GLOBAL optimizer step, not epoch: mid-epoch saves then
+        # get unique, monotonically increasing ids (the stored dict itself
+        # carries the epoch/batch position, so resume never reads meaning
+        # into the index)
+        index = int(jax.device_get(self.state.step))
+        if index == getattr(self, "_last_saved_index", None):
+            return  # no optimizer step since the last save — nothing new
+        if getattr(self, "_last_saved_index", None) is None:
+            # fresh process: a restart of an already-complete run would
+            # otherwise re-save the step the resume just loaded
+            from .checkpoint import latest_step
+
+            if latest_step(directory) == index:
+                self._last_saved_index = index
+                return
+        save_checkpoint(
+            directory,
+            index,
+            self._ckpt_state(epoch, batch_in_epoch),
+            wait=wait,
+        )
+        self._last_saved_index = index
 
     def maybe_resume(self, directory: str) -> Optional[int]:
         if not bool(self.cfg.TRAIN.AUTO_RESUME):
@@ -656,6 +762,35 @@ class Trainer:
         restored = restore_checkpoint(directory, template)
         if restored is None:
             return None
+        if self.mesh is not None and jax.process_count() == 1:
+            # Orbax restores single-process arrays committed to device 0;
+            # the jitted step's other operands are mesh-sharded, and jit
+            # refuses mixed committed placements — re-place the restored
+            # state the way __init__ placed the fresh state (replicated,
+            # or the ZeRO-1 shardings for the optimizer tree)
+            from ..parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            restored = {
+                k: jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, rep), v
+                )
+                for k, v in restored.items()
+                if k != "opt_state"
+            } | {
+                "opt_state": (
+                    jax.tree_util.tree_map(
+                        jax.device_put,
+                        restored["opt_state"],
+                        self._opt_shardings,
+                    )
+                    if self.zero1
+                    else jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, rep),
+                        restored["opt_state"],
+                    )
+                )
+            }
         s = self.state
         ema = s.ema
         if s.ema is not None and "ema_shadow" in restored:
@@ -675,6 +810,12 @@ class Trainer:
             batch_stats if self.has_bn else None,
             jnp.ones((), jnp.bool_),
         )
+        if "rng" in restored:
+            self.rng = jnp.asarray(restored["rng"])
+        # 0 for end-of-epoch checkpoints and for pre-feature checkpoints
+        self.resume_batch_in_epoch = int(
+            restored.get("batch_in_epoch", 0)
+        )
         return int(restored["epoch"])
 
     def fit(
@@ -686,10 +827,20 @@ class Trainer:
     ) -> float:
         cfg = self.cfg
         begin = int(cfg.TRAIN.BEGIN_EPOCH)
+        start_batch = 0
         if checkpoint_dir:
             resumed = self.maybe_resume(checkpoint_dir)
             if resumed is not None:
-                begin = resumed + 1
+                start_batch = getattr(self, "resume_batch_in_epoch", 0)
+                # mid-epoch checkpoint: re-enter THAT epoch at the exact
+                # batch; end-of-epoch checkpoint: start the next one
+                begin = resumed if start_batch > 0 else resumed + 1
+                if start_batch:
+                    logger.info(
+                        "=> resuming mid-epoch: epoch %d batch %d",
+                        begin,
+                        start_batch,
+                    )
         # per-epoch TensorBoard scalars, rank 0 only (the writer_dict of
         # tools/train.py:101-105 + lib/core/function.py:165-170,258-263)
         tb = None
@@ -697,53 +848,108 @@ class Trainer:
             from ..utils.tb import create_scalar_writer
 
             tb = create_scalar_writer(tb_log_dir)
+        # TPU preemptions arrive as SIGTERM: note it, finish the current
+        # dispatch, checkpoint at the boundary, exit via PreemptedError
+        prev_handler = None
+        if checkpoint_dir:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                logger.warning(
+                    "=> SIGTERM: will checkpoint at the next dispatch "
+                    "boundary and stop"
+                )
+                self._preempted = True
+
+            try:
+                prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:
+                prev_handler = None  # not the main thread: flag-only mode
         best = 0.0
-        for epoch in range(begin, int(cfg.TRAIN.END_EPOCH)):
-            stats = self.train_one_epoch(train_batches_fn(epoch), epoch)
-            logger.info(
-                "=> Epoch %d done: loss %.4f (%.1f samples/s)",
-                epoch,
-                stats["loss"],
-                stats["samples_per_sec"],
-            )
-            if tb is not None:
-                tb.scalar("train_loss", stats["loss"], epoch)
-                tb.scalar("train_samples_per_sec",
-                          stats["samples_per_sec"], epoch)
-                tb.scalar("lr", float(self.schedule(self.state.step)), epoch)
-            if epoch >= int(cfg.TRAIN.EVAL_BEGIN_EPOCH):
-                acc = self.evaluate(eval_batches_fn())
-                best = max(best, acc)
+        try:
+            for epoch in range(begin, int(cfg.TRAIN.END_EPOCH)):
+                sb, start_batch = start_batch, 0
+                if sb:
+                    try:
+                        # sources that can seek (data/streaming.py) skip the
+                        # trained prefix without decoding it
+                        batches = train_batches_fn(epoch, sb)
+                    except TypeError:
+                        batches = _skip_batches(train_batches_fn(epoch), sb)
+                else:
+                    batches = train_batches_fn(epoch)
+                stats = self.train_one_epoch(
+                    batches, epoch, start_batch=sb, checkpoint_dir=checkpoint_dir
+                )
                 logger.info(
-                    "=> Epoch %d val acc %.3f (best %.3f)",
+                    "=> Epoch %d done: loss %.4f (%.1f samples/s)",
                     epoch,
-                    acc,
-                    best,
+                    stats["loss"],
+                    stats["samples_per_sec"],
                 )
                 if tb is not None:
-                    tb.scalar("valid_top1", acc, epoch)
-                if float(cfg.TRAIN.EMA_DECAY) > 0:
-                    ema_acc = self.evaluate(
-                        eval_batches_fn(), use_ema=True
+                    tb.scalar("train_loss", stats["loss"], epoch)
+                    tb.scalar("train_samples_per_sec",
+                              stats["samples_per_sec"], epoch)
+                    tb.scalar("lr", float(self.schedule(self.state.step)), epoch)
+                if epoch >= int(cfg.TRAIN.EVAL_BEGIN_EPOCH):
+                    acc = self.evaluate(eval_batches_fn())
+                    best = max(best, acc)
+                    logger.info(
+                        "=> Epoch %d val acc %.3f (best %.3f)",
+                        epoch,
+                        acc,
+                        best,
                     )
-                    logger.info("=> Epoch %d EMA acc %.3f", epoch, ema_acc)
                     if tb is not None:
-                        tb.scalar("valid_top1_ema", ema_acc, epoch)
-                    best = max(best, ema_acc)
+                        tb.scalar("valid_top1", acc, epoch)
+                    if float(cfg.TRAIN.EMA_DECAY) > 0:
+                        ema_acc = self.evaluate(
+                            eval_batches_fn(), use_ema=True
+                        )
+                        logger.info("=> Epoch %d EMA acc %.3f", epoch, ema_acc)
+                        if tb is not None:
+                            tb.scalar("valid_top1_ema", ema_acc, epoch)
+                        best = max(best, ema_acc)
+                if checkpoint_dir:
+                    self.save(checkpoint_dir, epoch)
+            if self.state.swa is not None:
+                if self.has_bn:
+                    # BN refresh for the averaged weights (swa_utils.update_bn)
+                    self.update_bn(train_batches_fn(int(cfg.TRAIN.END_EPOCH)))
+                swa_acc = self.evaluate(eval_batches_fn(), use_swa=True)
+                logger.info("=> SWA acc %.3f", swa_acc)
+                if tb is not None:
+                    tb.scalar("valid_top1_swa", swa_acc, int(cfg.TRAIN.END_EPOCH))
+                best = max(best, swa_acc)
+        finally:
+            if prev_handler is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_handler)
             if checkpoint_dir:
-                self.save(checkpoint_dir, epoch)
-        if self.state.swa is not None:
-            if self.has_bn:
-                # BN refresh for the averaged weights (swa_utils.update_bn)
-                self.update_bn(train_batches_fn(int(cfg.TRAIN.END_EPOCH)))
-            swa_acc = self.evaluate(eval_batches_fn(), use_swa=True)
-            logger.info("=> SWA acc %.3f", swa_acc)
-            if tb is not None:
-                tb.scalar("valid_top1_swa", swa_acc, int(cfg.TRAIN.END_EPOCH))
-            best = max(best, swa_acc)
+                # drain any in-flight async (wait=False) save
+                from .checkpoint import wait_for_saves
+
+                wait_for_saves(checkpoint_dir)
         if tb is not None:
             tb.close()
         return best
+
+
+def _skip_batches(batches, n: int):
+    """Drop the first ``n`` raw batches of an epoch iterator (counting K
+    per pre-chunked (K, B, ...) item) — the universal mid-epoch-resume
+    fallback for sources that cannot seek.  Skipped items are consumed,
+    so the data/flip stream past the skip matches an uninterrupted run."""
+    it = iter(batches)
+    consumed = 0
+    while consumed < n:
+        item = next(it, None)
+        if item is None:
+            return
+        consumed += item[0].shape[0] if len(item) == 3 else 1
+    yield from it
 
 
 def _chunk_batches(batches, k: int):

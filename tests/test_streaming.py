@@ -275,12 +275,14 @@ class TestChunkedStreaming:
         with pytest.raises(RuntimeError, match="decode ring died"):
             list(it)
 
-    def test_chunked_e2e_through_trainer(self, tsv_shard):
+    def test_chunked_e2e_through_trainer(self, tsv_shard, tmp_path):
         from peft_vit_tpu.config import get_default_config
         from peft_vit_tpu.commands.train import train_main
 
         cfg = _cfg(tsv_shard, batch=4)
-        cfg.OUTPUT_DIR = "/tmp/pvt_test_chunked_stream"
+        # isolated: a stale checkpoint from a previous pytest run must
+        # not be AUTO_RESUMEd into this one
+        cfg.OUTPUT_DIR = str(tmp_path)
         cfg.TRAIN.END_EPOCH = 1
         cfg.TRAIN.EVAL_BEGIN_EPOCH = 0
         cfg.TPU.STEPS_PER_DISPATCH = 2
@@ -329,12 +331,12 @@ class TestImageFolderStreaming:
         assert got == 24
         ld.close()
 
-    def test_imagefolder_e2e_through_trainer(self, image_tree):
+    def test_imagefolder_e2e_through_trainer(self, image_tree, tmp_path):
         from peft_vit_tpu.commands.train import train_main
         from peft_vit_tpu.config import get_default_config
 
         cfg = get_default_config()
-        cfg.OUTPUT_DIR = "/tmp/pvt_test_imgfolder_stream"
+        cfg.OUTPUT_DIR = str(tmp_path)
         cfg.DATASET.DATASET = "imgtree"
         cfg.DATASET.ROOT = image_tree
         cfg.DATASET.TRAIN_SET = "train"
