@@ -156,6 +156,70 @@ class TestMidEpochResume:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestMeshResume:
+    @pytest.mark.parametrize("zero1", [False, True])
+    def test_midepoch_resume_on_mesh(self, zero1, tmp_path):
+        """Orbax restores single-process arrays committed to device 0;
+        maybe_resume must re-place them (replicated, or the ZeRO-1
+        shardings for the optimizer tree) or the next sharded step
+        fails with mixed committed placements."""
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from peft_vit_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=8, model=1)
+        x, y = _data()
+        d = str(tmp_path / "ckpt")
+
+        def trainer():
+            cfg = make_cfg(
+                **{
+                    "TRAIN.CHECKPOINT_EVERY_STEPS": 4,
+                    "TPU.ZERO1": zero1,
+                }
+            )
+            vit = VisionTransformer(
+                image_size=16, patch_size=8, width=32, layers=2,
+                heads=2, style="timm", spec=PEFTSpec(), use_flash=False,
+            )
+            model = ImageClassifier(backbone=vit, num_classes=4)
+            params = model.init(
+                jax.random.PRNGKey(0), np.zeros((1, 16, 16, 3), np.float32)
+            )["params"]
+            mask = build_mask(params, "bitfit", num_layers=2)
+            return Trainer(
+                cfg, model, params, mask, steps_per_epoch=8, mesh=mesh
+            )
+
+        ref = trainer()
+        ref.train_one_epoch(batch_iterator(x, y, 8, seed=0), epoch=0)
+
+        pre = trainer()
+        pre.train_one_epoch(
+            itertools.islice(batch_iterator(x, y, 8, seed=0), 4),
+            epoch=0,
+            checkpoint_dir=d,
+        )
+
+        res = trainer()
+        assert res.maybe_resume(d) == 0
+        assert res.resume_batch_in_epoch == 4
+        res.train_one_epoch(
+            _skip_batches(batch_iterator(x, y, 8, seed=0), 4),
+            epoch=0,
+            start_batch=4,
+        )
+        # zero1: the restored, explicitly re-sharded state compiles a
+        # fresh executable whose collective reduction order may differ
+        # by 1 ulp per step from the original's — allow float noise;
+        # the replicated path is bit-exact
+        atol = 1e-6 if zero1 else 0.0
+        for a, b in zip(_leaves(ref), _leaves(res)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=atol
+            )
+
+
 class TestBackCompat:
     def test_resume_checkpoint_without_new_keys(self, tmp_path):
         """Checkpoints from before the rng/batch_in_epoch fields existed
