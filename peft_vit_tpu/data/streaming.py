@@ -278,12 +278,11 @@ class StreamingSource:
 
         ``skip_batches`` resumes a preempted epoch mid-stream WITHOUT
         decoding the already-trained prefix: the per-epoch order is
-        deterministic, so the first ``skip_batches * batch`` samples are
-        trimmed from the order (the flip RNG is burned in lockstep so the
-        remainder sees the exact flips of an uninterrupted epoch).  The
-        Trainer only checkpoints at dispatch boundaries, so the skip is
-        always chunk-aligned in scan mode; a misaligned request is an
-        error rather than a silently different data order."""
+        deterministic, so the skipped samples are trimmed from the order
+        (the flip RNG is burned in lockstep so the remainder sees the
+        exact flips of an uninterrupted epoch).  A chunk-misaligned skip
+        re-decodes at most one K*B emission and drops its leading
+        batches after flipping — still bit-exact."""
         if self.train:
             order = build_order(
                 self.sampler,
@@ -302,16 +301,19 @@ class StreamingSource:
                 order = order[: self.samples_this_process]
             rng = np.random.RandomState(self.seed + 7919 * (epoch + 1))
             big = self.batch * self.chunk
+            lead = 0  # batches to drop from the first decoded emission
             if skip_batches:
                 skip = int(skip_batches) * self.batch
-                if skip % big:
-                    raise ValueError(
-                        f"skip_batches={skip_batches} is not aligned to "
-                        f"the {self.chunk}-step dispatch chunk"
-                    )
-                order = order[skip:]
+                n_em, rem = divmod(skip, big)
+                # whole emissions are trimmed from the order (never
+                # decoded); a chunk-misaligned remainder re-decodes ONE
+                # emission and drops its leading batches after flipping,
+                # so the surviving batches still see the uninterrupted
+                # epoch's exact flip masks
+                order = order[n_em * big :]
+                lead = rem // self.batch
                 if self.flip and self.normalize:
-                    for _ in range(skip // big):
+                    for _ in range(n_em):
                         rng.rand(big)  # keep flip masks epoch-identical
             for x, y, count in self.loader.epoch(epoch, order=order):
                 tail = count < big
@@ -326,10 +328,18 @@ class StreamingSource:
                 if tail:
                     # epoch remainder: emit complete single batches so
                     # small datasets (< K*B samples) still train
-                    for j in range(n_full):
+                    for j in range(lead, n_full):
                         s = slice(j * self.batch, (j + 1) * self.batch)
                         yield x[s], y[s]
                     break
+                if lead:
+                    # partially-skipped first emission of a misaligned
+                    # resume: its surviving batches go out unstacked
+                    for j in range(lead, self.chunk):
+                        s = slice(j * self.batch, (j + 1) * self.batch)
+                        yield x[s], y[s]
+                    lead = 0
+                    continue
                 if self.chunk > 1:
                     # (K*B, ...) -> (K, B, ...) is a view — no copy
                     yield (

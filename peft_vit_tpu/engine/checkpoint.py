@@ -53,6 +53,7 @@ def save_checkpoint(
     state: Dict[str, Any],
     is_master: Optional[bool] = None,
     wait: bool = True,
+    overwrite: bool = False,
 ) -> None:
     """state: any pytree dict (trainable, opt, ema, swa, epoch, perf).
 
@@ -60,7 +61,10 @@ def save_checkpoint(
     host (safe even with donated device buffers) and lets the disk write
     proceed in the background — mid-epoch preemption checkpoints overlap
     IO with training this way; Orbax serializes back-to-back saves
-    itself."""
+    itself.
+
+    ``overwrite=True`` replaces an existing checkpoint at ``step``
+    (Orbax treats a same-step save as a silent no-op otherwise)."""
     import orbax.checkpoint as ocp
 
     if is_master is None:
@@ -71,6 +75,10 @@ def save_checkpoint(
     # collective over global arrays); Orbax itself writes from the
     # primary process only — the reference's rank-0-only semantics
     mgr = _manager(directory)
+    if overwrite:
+        mgr.wait_until_finished()
+        if step in (mgr.all_steps() or ()):
+            mgr.delete(step)
     mgr.save(step, args=ocp.args.StandardSave(state))
     if wait:
         mgr.wait_until_finished()

@@ -502,21 +502,18 @@ class Trainer:
                 seen += x.shape[0]
                 k_item = 1
             consumed += k_item
-            at_boundary = k_disp == 1 or k_item == k_disp
-            if (
-                ckpt_every > 0
-                and (consumed // ckpt_every) > ((consumed - k_item) // ckpt_every)
-                # scan mode: save only at whole-chunk boundaries so the
-                # recorded position stays chunk-aligned (the streaming
-                # source's decode-free skip requires it); the ragged
-                # epoch tail is covered by the end-of-epoch save
-                and at_boundary
-            ):
+            crossed = ckpt_every > 0 and (consumed // ckpt_every) > (
+                (consumed - k_item) // ckpt_every
+            )
+            if crossed:
                 # crossed a CHECKPOINT_EVERY_STEPS multiple: persist an
-                # exact-step resume point.  wait=False: Orbax snapshots
-                # the arrays to host before returning (safe w.r.t. the
-                # donated train state) and writes to disk in the
-                # background, overlapping IO with the next dispatches
+                # exact-step resume point (at ANY dispatch boundary —
+                # the streaming source resumes chunk-misaligned
+                # positions by re-decoding at most one emission).
+                # wait=False: Orbax snapshots the arrays to host before
+                # returning (safe w.r.t. the donated train state) and
+                # writes to disk in the background, overlapping IO with
+                # the next dispatches
                 self._check_finite(epoch, i, x, y)
                 self.save(
                     checkpoint_dir,
@@ -524,7 +521,19 @@ class Trainer:
                     batch_in_epoch=consumed,
                     wait=False,
                 )
-            if checkpoint_dir and at_boundary and self._preempt_agreed():
+            # preemption poll: free single-process (a local flag); multi-
+            # host it is a host collective, so only at coarse
+            # deterministic points (periodic-save crossings and
+            # PRINT_FREQ boundaries) — never per dispatch
+            if (
+                checkpoint_dir
+                and (
+                    jax.process_count() == 1
+                    or crossed
+                    or (i + 1) % int(cfg.PRINT_FREQ) == 0
+                )
+                and self._preempt_agreed()
+            ):
                 # SIGTERM (TPU preemption notice): flush an exact-step
                 # checkpoint and stop cleanly — the restarted job resumes
                 # this very batch
@@ -549,6 +558,12 @@ class Trainer:
                 )
         # end-of-epoch check covers steps after the last PRINT_FREQ fetch
         self._check_finite(epoch, i, x, y)
+        if ckpt_every > 0:
+            # don't hand back control with an async save still in flight
+            # (direct train_one_epoch callers may read the directory next)
+            from .checkpoint import wait_for_saves
+
+            wait_for_saves(checkpoint_dir)
         dt = time.time() - t_start
         if i < 0 and start_batch == 0:
             logger.warning(
@@ -730,38 +745,61 @@ class Trainer:
         # carries the epoch/batch position, so resume never reads meaning
         # into the index)
         index = int(jax.device_get(self.state.step))
+        # batch position already on disk for this index, if this process
+        # knows it (it wrote it, or it just resumed from it) — dedup
+        # identical saves, OVERWRITE when only the position advanced
+        # (e.g. a final periodic save at batch==steps must not block the
+        # end-of-epoch save from recording "epoch complete")
+        prev_batch = None
         if index == getattr(self, "_last_saved_index", None):
-            return  # no optimizer step since the last save — nothing new
-        if getattr(self, "_last_saved_index", None) is None:
-            # fresh process: a restart of an already-complete run would
-            # otherwise re-save the step the resume just loaded
-            from .checkpoint import latest_step
-
-            if latest_step(directory) == index:
-                self._last_saved_index = index
-                return
+            prev_batch = self._last_saved_batch
+        elif getattr(self, "_last_saved_index", None) is None and (
+            index == getattr(self, "_resumed_index", None)
+        ):
+            prev_batch = self.resume_batch_in_epoch
+        if prev_batch is not None and prev_batch == batch_in_epoch:
+            return
         save_checkpoint(
             directory,
             index,
             self._ckpt_state(epoch, batch_in_epoch),
             wait=wait,
+            overwrite=prev_batch is not None,
         )
         self._last_saved_index = index
+        self._last_saved_batch = batch_in_epoch
 
     def maybe_resume(self, directory: str) -> Optional[int]:
         if not bool(self.cfg.TRAIN.AUTO_RESUME):
             return None
-        from .checkpoint import checkpoint_keys
+        from .checkpoint import checkpoint_keys, latest_step
 
+        step = latest_step(directory)
+        if step is None:
+            return None
         template = self._ckpt_state()
-        stored = checkpoint_keys(directory)
+        stored = checkpoint_keys(directory, step)
         if stored is not None:
             # tolerate older checkpoints without swa/ema/batch_stats (e.g.
             # swa_finetune resuming a plain run): absent leaves stay fresh
             template = {k: v for k, v in template.items() if k in stored}
-        restored = restore_checkpoint(directory, template)
+        try:
+            restored = restore_checkpoint(directory, template, step=step)
+        except Exception:
+            # checkpoint_keys could not read the stored layout (e.g. an
+            # Orbax on-disk format change) AND the checkpoint predates
+            # the optional fields — retry without them before giving up
+            slim = {
+                k: v
+                for k, v in template.items()
+                if k not in ("rng", "batch_in_epoch")
+            }
+            if len(slim) == len(template):
+                raise
+            restored = restore_checkpoint(directory, slim, step=step)
         if restored is None:
             return None
+        self._resumed_index = step
         if self.mesh is not None and jax.process_count() == 1:
             # Orbax restores single-process arrays committed to device 0;
             # the jitted step's other operands are mesh-sharded, and jit
@@ -913,6 +951,15 @@ class Trainer:
                         best = max(best, ema_acc)
                 if checkpoint_dir:
                     self.save(checkpoint_dir, epoch)
+                    if self._preempt_agreed():
+                        # SIGTERM landed during the epoch tail or the
+                        # eval pass: the end-of-epoch checkpoint above is
+                        # the resume point — stop now instead of training
+                        # into the next epoch past the grace window
+                        raise PreemptedError(
+                            f"SIGTERM: checkpointed completed epoch "
+                            f"{epoch} and stopped"
+                        )
             if self.state.swa is not None:
                 if self.has_bn:
                     # BN refresh for the averaged weights (swa_utils.update_bn)

@@ -139,14 +139,20 @@ class TestMidEpochResume:
         ref = make_trainer(cfg)
         ref.fit(lambda e: full_epoch(e), eval_batches)
 
-        # run 1 dies after 4 of 8 batches (mid-epoch ckpts at 2 and 4;
-        # the end-of-epoch save dedups against the step-4 one)
+        # run 1 crashes after 4 of 8 batches (mid-epoch ckpts at 2 and 4
+        # already on disk; fit never reaches its end-of-epoch save)
+        class Crash(Exception):
+            pass
+
+        def crashing(e):
+            for j, b in enumerate(batch_iterator(x, y, 8, seed=e)):
+                if j == 4:
+                    raise Crash()
+                yield b
+
         pre = make_trainer(cfg)
-        pre.fit(
-            lambda e: itertools.islice(full_epoch(e), 4),
-            eval_batches,
-            checkpoint_dir=d,
-        )
+        with pytest.raises(Crash):
+            pre.fit(crashing, eval_batches, checkpoint_dir=d)
 
         # run 2 auto-resumes epoch 0 at batch 4 through fit's seekable-
         # source protocol (fn(epoch, start_batch))
@@ -343,21 +349,53 @@ class TestStreamingSkip:
             np.testing.assert_array_equal(got[0], want[0])
             np.testing.assert_array_equal(got[1], want[1])
 
-    def test_misaligned_skip_rejected(self, tmp_path):
+    def test_misaligned_skip_is_exact(self, tmp_path):
+        """A chunk-misaligned resume point (e.g. a checkpoint taken on a
+        ragged tail batch) re-decodes one emission and must still yield
+        the uninterrupted epoch's exact remaining raw batches."""
         from PIL import Image
 
         from peft_vit_tpu.data.streaming import StreamingSource
 
-        im = np.zeros((20, 20, 3), np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(im).save(buf, format="PNG")
-        row = "k0\t" + base64.b64encode(buf.getvalue()).decode() + "\t0"
+        rows = []
+        rng = np.random.RandomState(1)
+        for i in range(40):
+            im = rng.randint(0, 255, (20, 20, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(im).save(buf, format="PNG")
+            rows.append(
+                f"k{i}\t"
+                + base64.b64encode(buf.getvalue()).decode()
+                + f"\t{i % 4}"
+            )
         p = tmp_path / "t.tsv"
-        p.write_text(row + "\n")
-        cfg = make_cfg(**{"TRAIN.BATCH_SIZE_PER_GPU": 4})
+        p.write_text("\n".join(rows) + "\n")
+        cfg = make_cfg(**{"TRAIN.BATCH_SIZE_PER_GPU": 1})
         cfg.DATASET.ROOT = ""
         cfg.DATASET.TRAIN_TSV_LIST = [str(p)]
         cfg.DATASET.TEST_TSV_LIST = [str(p)]
-        src = StreamingSource(cfg, "train", batch_multiplier=4)
-        with pytest.raises(ValueError, match="not aligned"):
-            list(src.batches(epoch=0, skip_batches=3))
+
+        def flat(items):
+            # expand chunk items into raw (B, ...) batches
+            out = []
+            for it in items:
+                if len(it) == 3:
+                    out.extend(zip(it[0], it[1]))
+                else:
+                    out.append((it[0], it[1]))
+            return out
+
+        full = flat(
+            StreamingSource(cfg, "train", batch_multiplier=2).batches(
+                epoch=5
+            )
+        )
+        rest = flat(
+            StreamingSource(cfg, "train", batch_multiplier=2).batches(
+                epoch=5, skip_batches=3
+            )
+        )
+        assert len(rest) == len(full) - 3
+        for (gx, gy), (wx, wy) in zip(rest, full[3:]):
+            np.testing.assert_array_equal(gx, wx)
+            np.testing.assert_array_equal(gy, wy)
