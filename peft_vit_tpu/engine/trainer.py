@@ -848,13 +848,20 @@ class Trainer:
             batch_stats if self.has_bn else None,
             jnp.ones((), jnp.bool_),
         )
+        def scalar(v):
+            # multi-host restore yields non-addressable replicated global
+            # arrays; any local shard carries the full (replicated) value
+            if isinstance(v, jax.Array) and not v.is_fully_addressable:
+                return np.asarray(v.addressable_data(0))
+            return np.asarray(v)
+
         if "rng" in restored:
-            self.rng = jnp.asarray(restored["rng"])
+            self.rng = jnp.asarray(scalar(restored["rng"]))
         # 0 for end-of-epoch checkpoints and for pre-feature checkpoints
         self.resume_batch_in_epoch = int(
-            restored.get("batch_in_epoch", 0)
+            scalar(restored.get("batch_in_epoch", 0))
         )
-        return int(restored["epoch"])
+        return int(scalar(restored["epoch"]))
 
     def fit(
         self,

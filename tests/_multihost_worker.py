@@ -109,11 +109,16 @@ def main():
     acc = train_main(cfg)
     assert np.isfinite(acc) and 0.0 <= acc <= 100.0, acc
 
-    # Orbax wrote the checkpoint exactly once (primary process)
+    # Orbax wrote the checkpoint exactly once (primary process); the
+    # index is the GLOBAL optimizer step (> 0 after a trained epoch),
+    # and the stored record says epoch 0 completed
     ckpt = os.path.join(cfg.OUTPUT_DIR, "mh", "mhrun", "checkpoints")
-    from peft_vit_tpu.engine.checkpoint import latest_step
+    from peft_vit_tpu.engine.checkpoint import checkpoint_keys, latest_step
 
-    assert latest_step(ckpt) == 0
+    step = latest_step(ckpt)
+    assert step is not None and step > 0, step
+    stored = checkpoint_keys(ckpt, step)
+    assert stored is not None and {"epoch", "batch_in_epoch", "rng"} <= stored
     if is_main_process():
         print("MH_WORKER_OK", acc, flush=True)
     else:
