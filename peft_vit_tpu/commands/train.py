@@ -12,13 +12,14 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import sys
 
 import jax
 import numpy as np
 
 from ..config import get_default_config
 from ..data import construct_splits
-from ..engine.trainer import Trainer, batch_iterator
+from ..engine.trainer import PreemptedError, Trainer, batch_iterator
 from ..models.factory import build_image_classifier
 from ..peft import build_mask, count_trainable, spec_from_config
 from ..utils.logging import create_logger, final_result_line, log_trainable_params
@@ -229,7 +230,13 @@ def main(argv=None):
     cfg.NAME = cfg.NAME or "train"
     create_logger(cfg, "train")
     cfg.freeze()
-    return train_main(cfg)
+    try:
+        return train_main(cfg)
+    except PreemptedError as e:
+        # clean preemption: state is checkpointed; EX_TEMPFAIL tells the
+        # scheduler this is a retry, not a failure
+        logging.getLogger(__name__).warning("=> %s", e)
+        sys.exit(75)
 
 
 if __name__ == "__main__":

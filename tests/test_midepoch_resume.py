@@ -302,6 +302,22 @@ class TestSigtermPreemption:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestCliPreemptExit:
+    def test_main_exits_75_on_preemption(self, monkeypatch, tmp_path):
+        """EX_TEMPFAIL tells the scheduler a preempted run is a retry."""
+        from peft_vit_tpu.commands import train as train_cmd
+        from peft_vit_tpu.engine.trainer import PreemptedError
+
+        monkeypatch.setattr(
+            train_cmd,
+            "train_main",
+            lambda cfg: (_ for _ in ()).throw(PreemptedError("boom")),
+        )
+        with pytest.raises(SystemExit) as e:
+            train_cmd.main(["OUTPUT_DIR", str(tmp_path)])
+        assert e.value.code == 75
+
+
 @needs_native
 class TestStreamingSkip:
     def test_skip_matches_uninterrupted_suffix(self, tmp_path):
