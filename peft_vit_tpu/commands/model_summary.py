@@ -66,7 +66,29 @@ def summarize(cfg, method: str) -> str:
         f"({grad_flops / max(fwd_flops, 1): .2f}x forward; frozen-weight "
         f"dW GEMMs are never built)"
     )
-    return "\n".join(lines)
+    return "\n".join(lines), params, mask, num_layers
+
+
+def scaling_report(
+    cfg, params, mask, num_layers: int, step_ms: float, batch: int
+) -> str:
+    """Predicted multi-chip scaling for this config's trainable set
+    (utils/scaling.py; weak scaling vs the given measured step time)."""
+    from ..utils.scaling import profile_from_params, scaling_table
+
+    size = int(cfg.TRAIN.IMAGE_SIZE[0])
+    patch = int(getattr(cfg.MODEL.SPEC.VISION, "PATCH_SIZE", 16) or 16)
+    seq = (size // patch) ** 2 + 1
+    prof = profile_from_params(
+        params,
+        mask,
+        step_time_s=step_ms * 1e-3,
+        per_chip_batch=batch,
+        seq_len=seq,
+        layers=num_layers,
+    )
+    return "PREDICTED multi-chip scaling (weak scaling, ring collectives " \
+        "over v5e ICI):\n" + scaling_table(prof)
 
 
 def main(argv=None):
@@ -75,6 +97,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="model summary + exact FLOPs")
     p.add_argument("--cfg", default=None)
     p.add_argument("--method", default="full")
+    p.add_argument(
+        "--scaling",
+        nargs="?",
+        const=8.7,
+        type=float,
+        default=None,
+        metavar="STEP_MS",
+        help="append the predicted multi-chip scaling table; optional "
+        "value = measured single-chip ms/step (default: the BASELINE.md "
+        "flagship 8.7 ms at B=16)",
+    )
+    p.add_argument("--batch", type=int, default=16,
+                   help="per-chip batch for --scaling")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
     cfg = get_default_config()
@@ -83,7 +118,11 @@ def main(argv=None):
     if args.opts:
         cfg.merge_from_list(args.opts)
     cfg.freeze()
-    out = summarize(cfg, args.method)
+    out, params, mask, num_layers = summarize(cfg, args.method)
+    if args.scaling is not None:
+        out += "\n\n" + scaling_report(
+            cfg, params, mask, num_layers, args.scaling, args.batch
+        )
     print(out)
     return out
 

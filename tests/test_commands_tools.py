@@ -44,6 +44,41 @@ class TestModelSummary:
         # LoRA: tiny trainable fraction, frozen rows present
         assert "frozen" in out and "train" in out
 
+    def test_summary_with_scaling_table(self):
+        from peft_vit_tpu.commands.model_summary import main
+
+        out = main(
+            [
+                "--method",
+                "lora",
+                "--scaling",
+                "--batch",
+                "8",
+                "MODEL.SPEC.VISION.LAYERS",
+                "1",
+                "MODEL.SPEC.VISION.WIDTH",
+                "64",
+                "MODEL.SPEC.VISION.HEADS",
+                "2",
+                "MODEL.SPEC.VISION.PATCH_SIZE",
+                "16",
+                "MODEL.SPEC.EMBED_DIM",
+                "32",
+                "MODEL.SPEC.TEXT.WIDTH",
+                "32",
+                "MODEL.SPEC.TEXT.LAYERS",
+                "1",
+                "MODEL.SPEC.TEXT.HEADS",
+                "2",
+                "TRAIN.IMAGE_SIZE",
+                "[32, 32]",
+                "DATASET.NUM_CLASSES",
+                "3",
+            ]
+        )
+        assert "PREDICTED multi-chip scaling" in out
+        assert "| dp | 256 |" in out
+
 
 class TestTestModelCommand:
     def test_retrieval_mode(self, tmp_path, capsys):
