@@ -2,6 +2,7 @@ from .loss import (
     build_criterion,
     clip_contrastive_loss,
     focal_loss,
+    multilabel_soft_margin_loss,
     hybrid_contrastive_loss,
     sigmoid_multilabel_loss,
     soft_target_cross_entropy,
@@ -114,6 +115,7 @@ __all__ = [
     "ema_init",
     "ema_update",
     "focal_loss",
+    "multilabel_soft_margin_loss",
     "get_metric",
     "hybrid_contrastive_loss",
     "init_cell_state",

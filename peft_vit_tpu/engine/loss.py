@@ -64,27 +64,51 @@ def focal_loss(
     gamma: float = 0.5,
     normalize: bool = True,
 ) -> jax.Array:
-    """Focal loss (lib/core/loss.py FocalLoss)."""
-    num_classes = logits.shape[-1]
-    onehot = _as_onehot(target, num_classes)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    p = jnp.exp(logp)
-    focal = -alpha * (1.0 - p) ** gamma * logp
-    loss = jnp.sum(onehot * focal, axis=-1)
+    """Sigmoid focal loss, exact reference semantics (lib/core/loss.py
+    FocalLoss:31-60, the class-balanced-loss formulation): per-element
+    BCE-with-logits scaled by the modulator
+    exp(-gamma*t*x - gamma*log1p(exp(-x))) = (1-p)^g for t=1, p^g for t=0
+    computed in log space, alpha-weighted, SUM-reduced, and normalized by
+    target.sum() when `normalize`.  Pinned against the executed reference
+    in tests/test_refexec_engine.py."""
+    x = logits.astype(jnp.float32)
+    num_classes = x.shape[-1]
+    t = _as_onehot(target, num_classes)
+    bce = optax.sigmoid_binary_cross_entropy(x, t)
+    if gamma == 0.0:
+        modulator = 1.0
+    else:
+        # -log1p(exp(-x)) computed stably as log_sigmoid(x)
+        modulator = jnp.exp(
+            gamma * (-t * x + jax.nn.log_sigmoid(x))
+        )
+    loss = alpha * jnp.sum(modulator * bce)
     if normalize:
-        norm = jnp.sum(onehot * (1.0 - p) ** gamma, axis=-1) + 1e-8
-        loss = loss / norm
-    return jnp.mean(loss)
+        loss = loss / jnp.clip(t.sum(), 1e-8)
+    return loss
 
 
 def multi_softmax_cross_entropy(
     logits: jax.Array, target: jax.Array
 ) -> jax.Array:
-    """MultiSoftmaxCrossEntropyLoss: multilabel targets normalized into a
-    distribution, then soft-target CE (lib/core/loss.py)."""
+    """MultiSoftmaxCrossEntropyLoss (lib/core/loss.py:63-107, no class
+    weight / no smoothing branch): sum(-t * log_softmax(x)) / t.sum() —
+    note the GLOBAL normalization by the total positive count, not a
+    per-row mean (rows with more positives weigh more)."""
+    t = _as_onehot(target, logits.shape[-1])
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.sum(-t * logp) / jnp.clip(t.sum(), 1e-8)
+
+
+def multilabel_soft_margin_loss(
+    logits: jax.Array, target: jax.Array
+) -> jax.Array:
+    """torch.nn.MultiLabelSoftMarginLoss(reduction='sum') — the full_shot
+    'sigmoid' criterion (lib/core/loss.py:140-141): per-sample MEAN over
+    classes of BCE-with-logits, SUMMED over the batch."""
     t = target.astype(jnp.float32)
-    t = t / jnp.clip(t.sum(axis=-1, keepdims=True), 1e-8)
-    return soft_target_cross_entropy(logits, t)
+    bce = optax.sigmoid_binary_cross_entropy(logits.astype(jnp.float32), t)
+    return jnp.sum(jnp.mean(bce, axis=-1))
 
 
 def clip_contrastive_loss(
@@ -141,7 +165,11 @@ def build_criterion(cfg, train: bool = True):
         )
     if name in ("soft_target", "softTargetCE"):
         return soft_target_cross_entropy
-    if name in ("sigmoid", "multilabel"):
+    if name == "sigmoid":
+        # full_shot semantics: MultiLabelSoftMarginLoss(reduction='sum')
+        return multilabel_soft_margin_loss
+    if name == "multilabel":
+        # few_shot semantics: BCEWithLogitsLoss (mean)
         return sigmoid_multilabel_loss
     if name == "focal":
         alpha = float(cfg.LOSS.FOCAL.ALPHA)

@@ -37,11 +37,17 @@ def larc(
     clip: bool = True,
     eps: float = 1e-8,
     learning_rate: float = 1.0,
+    weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
-    """LARC (lib/optim/LARC.py): per-parameter trust-ratio scaling.
+    """LARC (lib/optim/LARC.py:82-109), exact reference semantics —
+    pinned against the executed reference in tests/test_refexec_engine.py.
 
-    adaptive_lr = trust * ||p|| / (||g|| + eps); in clip mode the gradient
-    is scaled by min(adaptive_lr / lr, 1).
+    LARC absorbs the optimizer's weight decay: per parameter,
+        adaptive = trust * ||p|| / (||g|| + ||p||*wd + eps)
+    (note: ||g|| of the RAW gradient), clip mode scales by
+    min(adaptive/lr, 1), and the update becomes (g + wd*p) * scale.
+    When either norm is zero the gradient passes through untouched and
+    wd is NOT applied (the reference skips the whole branch).
     """
 
     def init_fn(params):
@@ -55,13 +61,16 @@ def larc(
         def scale(g, p):
             pn = jnp.linalg.norm(p.reshape(-1))
             gn = jnp.linalg.norm(g.reshape(-1))
-            adaptive = trust_coefficient * pn / (gn + eps)
+            adaptive = trust_coefficient * pn / (
+                gn + pn * weight_decay + eps
+            )
             if clip:
                 s = jnp.minimum(adaptive / learning_rate, 1.0)
             else:
                 s = adaptive
-            s = jnp.where((pn > 0) & (gn > 0), s, 1.0)
-            return g * s
+            active = (pn > 0) & (gn > 0)
+            out = (g + weight_decay * p) * s
+            return jnp.where(active, out, g)
 
         updates = jax.tree_util.tree_map(scale, updates, params)
         return updates, state
@@ -78,14 +87,31 @@ _NO_WD_DEFAULT = ("bias", "/ln_", "norm", "bn", "class_embedding",
 
 
 def no_weight_decay_mask(params, without_wd_list=()) -> Dict:
-    """True where weight decay applies.  Mirrors the reference `_set_wd`
-    (optim/build.py): bias / LayerNorm / BatchNorm params get no decay."""
+    """True where weight decay applies.  Mirrors the reference `set_wd`
+    (lib/optim/build.py:19-88): bias / LayerNorm / BatchNorm / GroupNorm
+    params get no decay, and 'depthwise' excludes depthwise-conv kernels —
+    detected by shape (HWIO with in_features/groups == 1), since our
+    depthwise convs are named conv_dw/get_v rather than 'depthwise'."""
     keys = tuple(without_wd_list) or _NO_WD_DEFAULT
+    depthwise = "depthwise" in keys
     flat = traverse_util.flatten_dict(params, sep="/")
+
+    def decays(k, v):
+        if any(s in k.lower() for s in keys):
+            return False
+        if (
+            depthwise
+            and getattr(v, "ndim", 0) == 4
+            and v.shape[2] == 1
+            and v.shape[3] > 1
+        ):
+            return False
+        return True
+
     # None leaves (peft.split_params holes) stay None so the mask tree
     # matches the param tree structure under jax/optax flattening.
     mask = {
-        k: (None if v is None else not any(s in k.lower() for s in keys))
+        k: (None if v is None else decays(k, v))
         for k, v in flat.items()
     }
     return traverse_util.unflatten_dict(mask, sep="/")
@@ -129,24 +155,36 @@ def warmup_cosine_schedule(
     warmup_steps: int = 0,
     warmup_factor: float = 0.001,
     end_lr: float = 0.0,
+    warmup_method: str = "linear",
 ) -> optax.Schedule:
-    """WarmupCosineLR (lib/scheduler/warmup_lr.py:59-135, detectron2 port):
-    linear warmup from warmup_factor*lr, then cosine to end_lr."""
+    """WarmupCosineLR (lib/scheduler/warmup_lr.py:59-135, detectron2 port).
+
+    Exact reference semantics (pinned by the executed-reference fixture in
+    tests/test_refexec_engine.py): the warmup factor MULTIPLIES a cosine
+    that runs from iteration 0 —
+        lr(t) = wf(t) * base * 0.5 * (1 + cos(pi * t / total))
+    with wf(t) = warmup_factor*(1-a) + a (linear, a = t/warmup) or
+    warmup_factor (constant) while t < warmup, else 1.  This differs from
+    the more common "linear warmup then offset cosine" by O(warmup/total).
+    end_lr extends the reference (0 there) as the cosine floor.
+    """
 
     def schedule(count):
         count = jnp.asarray(count, jnp.float32)
         warm = jnp.asarray(max(warmup_steps, 1), jnp.float32)
-        alpha = count / warm
-        warmup_lr = base_lr * (warmup_factor * (1 - alpha) + alpha)
-        progress = jnp.clip(
-            (count - warmup_steps) / max(total_steps - warmup_steps, 1),
-            0.0,
-            1.0,
-        )
+        if warmup_method == "constant":
+            wf = jnp.where(count < warmup_steps, warmup_factor, 1.0)
+        else:
+            alpha = count / warm
+            wf = jnp.where(
+                count < warmup_steps,
+                warmup_factor * (1 - alpha) + alpha,
+                1.0,
+            )
         cos = end_lr + 0.5 * (base_lr - end_lr) * (
-            1.0 + jnp.cos(jnp.pi * progress)
+            1.0 + jnp.cos(jnp.pi * count / max(total_steps, 1))
         )
-        return jnp.where(count < warmup_steps, warmup_lr, cos)
+        return wf * cos
 
     return schedule
 
@@ -262,12 +300,34 @@ def build_optimizer(
         chain.append(optax.clip_by_global_norm(float(cfg.TRAIN.CLIP_GRAD_NORM)))
 
     if name == "sgd":
-        if wd:
+        if bool(cfg.TRAIN.LARC):
+            # LARC absorbs the weight decay (LARC.py:85-104): the trust
+            # ratio sees the raw ||g|| with ||p||*wd in the denominator,
+            # so wd must NOT be pre-added to the gradient here.
+            if wd:
+                inv_mask = jax.tree_util.tree_map(
+                    lambda m: None if m is None else not m, wd_mask
+                )
+                chain.append(
+                    optax.masked(
+                        larc(
+                            learning_rate=float(cfg.TRAIN.LR),
+                            weight_decay=wd,
+                        ),
+                        wd_mask,
+                    )
+                )
+                chain.append(
+                    optax.masked(
+                        larc(learning_rate=float(cfg.TRAIN.LR)), inv_mask
+                    )
+                )
+            else:
+                chain.append(larc(learning_rate=float(cfg.TRAIN.LR)))
+        elif wd:
             chain.append(
                 optax.masked(optax.add_decayed_weights(wd), wd_mask)
             )
-        if bool(cfg.TRAIN.LARC):
-            chain.append(larc(learning_rate=float(cfg.TRAIN.LR)))
         if momentum:
             chain.append(
                 optax.trace(

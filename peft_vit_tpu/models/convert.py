@@ -99,6 +99,38 @@ def _convert_block(sd, prefix: str) -> Dict[str, np.ndarray]:
     out["mlp/c_fc/bias"] = _np(sd[f"{prefix}.mlp.c_fc.bias"])
     out["mlp/c_proj/kernel"] = _np(sd[f"{prefix}.mlp.c_proj.weight"]).T
     out["mlp/c_proj/bias"] = _np(sd[f"{prefix}.mlp.c_proj.bias"])
+    # reference-TRAINED PEFT checkpoints carry the injected modules too:
+    # the Houlsby adapter (adapter_model.py:204-342: adapter_norm_before,
+    # adapter_down = Sequential(LN, Linear, act), adapter_up) and the
+    # LoRA q/v pairs (lora_model.py:727-742); map them so such
+    # checkpoints load at full parity (refexec_clip_model.npz pins this)
+    if f"{prefix}.adapter.adapter_down.1.weight" in sd:
+        out["adapter/adapter_norm_before/scale"] = _np(
+            sd[f"{prefix}.adapter.adapter_norm_before.weight"]
+        )
+        out["adapter/adapter_norm_before/bias"] = _np(
+            sd[f"{prefix}.adapter.adapter_norm_before.bias"]
+        )
+        out["adapter/down/kernel"] = _np(
+            sd[f"{prefix}.adapter.adapter_down.1.weight"]
+        ).T
+        out["adapter/down/bias"] = _np(
+            sd[f"{prefix}.adapter.adapter_down.1.bias"]
+        )
+        out["adapter/up/kernel"] = _np(
+            sd[f"{prefix}.adapter.adapter_up.weight"]
+        ).T
+        out["adapter/up/bias"] = _np(
+            sd[f"{prefix}.adapter.adapter_up.bias"]
+        )
+    for t in ("q", "v"):
+        if f"{prefix}.attn.{t}_proj_adapter1.weight" in sd:
+            out[f"attn/{t}_adapter1/kernel"] = _np(
+                sd[f"{prefix}.attn.{t}_proj_adapter1.weight"]
+            ).T
+            out[f"attn/{t}_adapter2/kernel"] = _np(
+                sd[f"{prefix}.attn.{t}_proj_adapter2.weight"]
+            ).T
     return out
 
 

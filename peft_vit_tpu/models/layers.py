@@ -439,6 +439,19 @@ class MultiHeadAttention(nn.Module):
             v = v + deltas["v"]
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
 
+        if spec.lepe and spec.lepe_ref_qkv:
+            # Executed-reference LePE layout (LePE.py:120-123): the
+            # (3, B, N, C) qkvo permutation is reshaped to
+            # (B, N, 3, H, hd) — a flat reinterpretation that scrambles
+            # q/k/v across the batch.  Reproduced verbatim for
+            # checkpoint parity; the get_lepe conv below keeps the
+            # clean v (qkvo[2]), exactly as the reference does.
+            qkvo = jnp.transpose(qkv.reshape(b, n, 3, d), (2, 0, 1, 3))
+            scr = jnp.transpose(
+                qkvo.reshape(b, n, 3, h, hd), (2, 0, 3, 1, 4)
+            )
+            qh, kh, vh = scr[0], scr[1], scr[2]
+
         if spec.attn_adapter == "shared_qkv":
             # one head-dim bottleneck adapter shared by q, k, v
             # (cls_vit_lora_adapter.py:175-194: Adapter(64) on each)

@@ -84,6 +84,14 @@ class PEFTSpec:
 
     # locally-enhanced positional encoding (depthwise conv on v)
     lepe: bool = False
+    # Reproduce the reference's EXECUTED q/k/v layout bit-for-bit:
+    # LePE.py:120-123 reshapes the already-permuted (3,B,N,C) qkvo
+    # buffer into (B,N,3,H,hd), scrambling q/k/v across the batch (the
+    # get_lepe conv still sees the clean v from qkvo[2]).  Discovered by
+    # executing the reference (tests/golden/generate_from_reference.py);
+    # default False = the intended clean semantics.  Opt in for loading
+    # reference-trained LePE checkpoints at bit parity.
+    lepe_ref_qkv: bool = False
 
     # visual prompt tokens
     prompt_tokens: int = 0

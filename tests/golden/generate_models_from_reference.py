@@ -1,0 +1,202 @@
+"""Whole-model golden fixtures produced by EXECUTING the reference.
+
+Completes the refexec program (generate_from_reference.py pins block/
+attention quirks; generate_engine_from_reference.py pins the engine):
+these fixtures run the reference's COMPLETE models end-to-end at tiny
+widths and store the full torch state dict plus inputs and outputs, so
+tests/test_refexec_models.py can pin both our model forward AND the
+checkpoint converters (clip_state_dict_to_tree / timm_vit_state_dict_to
+_tree + graft) against the executed reference — the offline stand-in
+for the env-gated real-checkpoint parity tests.
+
+    PYTHONPATH= python tests/golden/generate_models_from_reference.py
+
+* refexec_clip_model.npz — adapter_model.py CLIP (:397-530): ViT visual
+  tower (width 64 => the class forces heads = width//64 = 1), text
+  transformer with causal mask + EOT-argmax pooling, L2-normalized
+  features, exp(logit_scale) similarity.
+* refexec_cls_vit.npz — full_shot cls_vit.py VisionTransformer
+  (timm-style: patch conv, cls token, pre-norm blocks, final norm,
+  linear head), loaded with the timm/torch._six stubs.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FEW = "/root/reference/few_shot/vision_benchmark/evaluation"
+FULL = "/root/reference/full_shot/main/lib/models"
+
+
+def _load_plain(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _install_stubs():
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a, b)
+            return tensor
+
+        layers.DropPath = DropPath
+        layers.trunc_normal_ = trunc_normal_
+        models.layers = layers
+        timm.models = models
+        sys.modules.update({"timm": timm, "timm.models": models,
+                            "timm.models.layers": layers})
+    if "torch._six" not in sys.modules:
+        import collections.abc as container_abcs
+
+        six = types.ModuleType("torch._six")
+        six.container_abcs = container_abcs
+        sys.modules["torch._six"] = six
+
+
+def _seeded(seed):
+    g = torch.Generator().manual_seed(seed)
+
+    def rand(*shape):
+        # tuple form handles 0-dim params (logit_scale)
+        return torch.randn(shape, generator=g, dtype=torch.float32)
+
+    return rand
+
+
+def _randomize(module, rand, scale=0.05):
+    """Healthy-magnitude seeded params; 1-d 'weight's (norms) get +1."""
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            v = rand(*p.shape) * scale
+            if name.endswith("weight") and p.dim() == 1:
+                v = v + 1.0
+            if name == "logit_scale":
+                v = torch.full_like(p, float(np.log(1 / 0.07)))
+            p.copy_(v)
+
+
+def _save_sd(out, module):
+    for k, v in module.state_dict().items():
+        out["sd__" + k.replace(".", "__")] = v.detach().numpy()
+
+
+def gen_clip_model(seed=31, b=2, image=32, patch=16, vwidth=64,
+                   vlayers=2, embed=16, ctx=12, vocab=50, twidth=32,
+                   theads=2, tlayers=2):
+    ref = _load_plain("_ref_adapter_model",
+                      os.path.join(FEW, "adapter_model.py"))
+    rand = _seeded(seed)
+    m = ref.CLIP(embed, image, vlayers, vwidth, patch, ctx, vocab,
+                 twidth, theads, tlayers).eval()
+    _randomize(m, rand)
+    x = rand(b, 3, image, image)
+    # integer tokens; force the EOT (argmax) position to differ per row
+    g = torch.Generator().manual_seed(seed + 1)
+    toks = torch.randint(0, vocab - 1, (b, ctx), generator=g)
+    toks[0, -1] = vocab - 1
+    toks[1, ctx // 2] = vocab - 1
+    with torch.no_grad():
+        fi = m.encode_image(x)
+        ft = m.encode_text(toks)
+        li, lt = m(x, toks)
+    out = {
+        "x": x.numpy(),
+        "toks": toks.numpy(),
+        "feats_img": fi.numpy(),
+        "feats_txt": ft.numpy(),
+        "logits_img": li.numpy(),
+        "theads": np.asarray(theads),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_clip_model.npz"), **out)
+    print("refexec_clip_model:", li.shape, float(li.abs().mean()))
+
+
+def gen_lora_clip_model(seed=33, image=32, patch=16, vwidth=64,
+                        vlayers=2, embed=16, ctx=12, vocab=50,
+                        twidth=32, theads=2, tlayers=2):
+    """lora_model.py CLIP (:1031-1118): visual tower built with
+    kattention=True => every visual block runs the custom LoRA
+    MultiheadAttention (rank 4, alpha 128, post-scale-q); the text tower
+    is plain.  batch=1 and heads = vwidth//64 = 1 make the delta-reshape
+    scramble (:730) the identity, so the executed forward is the
+    post-scale-q semantics our module reproduces."""
+    ref = _load_plain("_ref_lora_model",
+                      os.path.join(FEW, "lora_model.py"))
+    rand = _seeded(seed)
+    m = ref.CLIP(embed, image, vlayers, vwidth, patch, ctx, vocab,
+                 twidth, theads, tlayers).eval()
+    _randomize(m, rand)
+    x = rand(1, 3, image, image)
+    g = torch.Generator().manual_seed(seed + 1)
+    toks = torch.randint(0, vocab - 1, (1, ctx), generator=g)
+    toks[0, -1] = vocab - 1
+    with torch.no_grad():
+        fi = m.encode_image(x)
+        ft = m.encode_text(toks)
+    out = {
+        "x": x.numpy(),
+        "toks": toks.numpy(),
+        "feats_img": fi.numpy(),
+        "feats_txt": ft.numpy(),
+        "theads": np.asarray(theads),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_lora_clip_model.npz"), **out)
+    print("refexec_lora_clip_model:", fi.shape, float(fi.abs().mean()))
+
+
+def gen_cls_vit(seed=32, b=2, image=32, patch=8, embed=32, depth=2,
+                heads=2, classes=5):
+    _install_stubs()
+    ref = _load_plain("_ref_cls_vit", os.path.join(FULL, "cls_vit.py"))
+    m = ref.VisionTransformer(
+        img_size=image, patch_size=patch, num_classes=classes,
+        embed_dim=embed, depth=depth, num_heads=heads, qkv_bias=True,
+        pre_norm=True,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(b, 3, image, image)
+    with torch.no_grad():
+        feats = m.forward_features(x)
+        logits = m(x)
+    if isinstance(feats, tuple):
+        feats = feats[0]
+    out = {
+        "x": x.numpy(),
+        "feats": feats.numpy(),
+        "logits": logits.numpy(),
+        "heads": np.asarray(heads),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_cls_vit.npz"), **out)
+    print("refexec_cls_vit:", logits.shape, float(logits.abs().mean()))
+
+
+if __name__ == "__main__":
+    gen_clip_model()
+    gen_lora_clip_model()
+    gen_cls_vit()
