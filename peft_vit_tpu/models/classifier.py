@@ -24,9 +24,16 @@ Dtype = Any
 
 
 class FeatureBatchNorm(nn.Module):
-    """BatchNorm1d(affine=False) over feature vectors (B, D)."""
+    """BatchNorm1d(affine=False) over feature vectors (B, D), with
+    torch-EXACT running statistics (pinned against the executed
+    reference probe in tests/test_refexec_engine.py): normalization uses
+    the biased batch variance, but running_var blends the UNBIASED batch
+    variance (n/(n-1)) at torch's momentum convention
+    new = (1 - m) * old + m * batch with m = 0.1 — flax's nn.BatchNorm
+    blends the biased variance, which skews the eval-mode statistics the
+    probe validates with."""
 
-    momentum: float = 0.9
+    momentum: float = 0.1  # torch convention: weight of the NEW batch
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
@@ -34,15 +41,27 @@ class FeatureBatchNorm(nn.Module):
     def __call__(
         self, x: jax.Array, use_running_average: bool = True
     ) -> jax.Array:
-        return nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            use_bias=False,
-            use_scale=False,
-            name="bn",
-            dtype=self.dtype,
-        )(x)
+        d = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "bn_mean", lambda: jnp.zeros(d, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "bn_var", lambda: jnp.ones(d, jnp.float32)
+        )
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x.shape[0]
+            mean = jnp.mean(x32, axis=0)
+            var = jnp.mean((x32 - mean) ** 2, axis=0)  # biased, for norm
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(self.dtype)
 
 
 class ClassifierHead(nn.Module):

@@ -355,42 +355,129 @@ def timm_effnet_state_dict_to_tree(
 
 
 def timm_vit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
-    """timm ``vit_base_patch16_224``-style state dict -> our naming."""
+    """timm ``vit_base_patch16_224``-style state dict -> our naming.
+
+    Also maps the full_shot PEFT-variant injections (cls_vit_lora /
+    cls_vit_adapter / cls_vit_adapterdrop_lora / cls_vit_position_bias /
+    cls_vit_lora_adapter state dicts): q/v LoRA pairs, the post-MLP
+    Houlsby adapter, the shared head-dim qkv adapter, the RPB table, and
+    LePE's get_v conv.  ``cls_token`` is optional (use_cls_tocken=False
+    checkpoints have a (1, g*g, w) pos_embed and no class token)."""
     flat: Dict[str, np.ndarray] = {}
     flat["conv1/kernel"] = _np(sd["patch_embed.proj.weight"]).transpose(
         2, 3, 1, 0
     )
     flat["conv1/bias"] = _np(sd["patch_embed.proj.bias"])
-    flat["class_embedding"] = _np(sd["cls_token"]).reshape(-1)
+    if "cls_token" in sd:
+        flat["class_embedding"] = _np(sd["cls_token"]).reshape(-1)
     flat["positional_embedding"] = _np(sd["pos_embed"])[0]
     layers = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
     for i in range(layers):
         p = f"blocks.{i}"
-        flat[f"blocks_{i}/ln_1/scale"] = _np(sd[f"{p}.norm1.weight"])
-        flat[f"blocks_{i}/ln_1/bias"] = _np(sd[f"{p}.norm1.bias"])
-        flat[f"blocks_{i}/ln_2/scale"] = _np(sd[f"{p}.norm2.weight"])
-        flat[f"blocks_{i}/ln_2/bias"] = _np(sd[f"{p}.norm2.bias"])
-        flat[f"blocks_{i}/attn/in_proj/kernel"] = _np(
+        o = f"blocks_{i}"
+        flat[f"{o}/ln_1/scale"] = _np(sd[f"{p}.norm1.weight"])
+        flat[f"{o}/ln_1/bias"] = _np(sd[f"{p}.norm1.bias"])
+        flat[f"{o}/ln_2/scale"] = _np(sd[f"{p}.norm2.weight"])
+        flat[f"{o}/ln_2/bias"] = _np(sd[f"{p}.norm2.bias"])
+        flat[f"{o}/attn/in_proj/kernel"] = _np(
             sd[f"{p}.attn.qkv.weight"]
         ).T
         if f"{p}.attn.qkv.bias" in sd:
-            flat[f"blocks_{i}/attn/in_proj/bias"] = _np(
+            flat[f"{o}/attn/in_proj/bias"] = _np(
                 sd[f"{p}.attn.qkv.bias"]
             )
-        flat[f"blocks_{i}/attn/out_proj/kernel"] = _np(
+        flat[f"{o}/attn/out_proj/kernel"] = _np(
             sd[f"{p}.attn.proj.weight"]
         ).T
-        flat[f"blocks_{i}/attn/out_proj/bias"] = _np(
+        flat[f"{o}/attn/out_proj/bias"] = _np(
             sd[f"{p}.attn.proj.bias"]
         )
-        flat[f"blocks_{i}/mlp/c_fc/kernel"] = _np(
+        flat[f"{o}/mlp/c_fc/kernel"] = _np(
             sd[f"{p}.mlp.fc1.weight"]
         ).T
-        flat[f"blocks_{i}/mlp/c_fc/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
-        flat[f"blocks_{i}/mlp/c_proj/kernel"] = _np(
+        flat[f"{o}/mlp/c_fc/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
+        flat[f"{o}/mlp/c_proj/kernel"] = _np(
             sd[f"{p}.mlp.fc2.weight"]
         ).T
-        flat[f"blocks_{i}/mlp/c_proj/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
+        flat[f"{o}/mlp/c_proj/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
+        # injected PEFT modules (present in variant checkpoints)
+        for t in ("q", "v"):
+            if f"{p}.attn.{t}_proj_adapter1.weight" in sd:
+                flat[f"{o}/attn/{t}_adapter1/kernel"] = _np(
+                    sd[f"{p}.attn.{t}_proj_adapter1.weight"]
+                ).T
+                flat[f"{o}/attn/{t}_adapter2/kernel"] = _np(
+                    sd[f"{p}.attn.{t}_proj_adapter2.weight"]
+                ).T
+        for owner, tgt in ((f"{p}.adapter", f"{o}/adapter"),
+                           (f"{p}.attn.adapter", f"{o}/attn/qkv_adapter")):
+            if f"{owner}.adapter_down.1.weight" in sd:
+                flat[f"{tgt}/adapter_norm_before/scale"] = _np(
+                    sd[f"{owner}.adapter_norm_before.weight"]
+                )
+                flat[f"{tgt}/adapter_norm_before/bias"] = _np(
+                    sd[f"{owner}.adapter_norm_before.bias"]
+                )
+                flat[f"{tgt}/down/kernel"] = _np(
+                    sd[f"{owner}.adapter_down.1.weight"]
+                ).T
+                flat[f"{tgt}/down/bias"] = _np(
+                    sd[f"{owner}.adapter_down.1.bias"]
+                )
+                flat[f"{tgt}/up/kernel"] = _np(
+                    sd[f"{owner}.adapter_up.weight"]
+                ).T
+                flat[f"{tgt}/up/bias"] = _np(sd[f"{owner}.adapter_up.bias"])
+        if f"{p}.attn.relative_position_bias_table" in sd:
+            flat[f"{o}/attn/relative_position_bias_table"] = _np(
+                sd[f"{p}.attn.relative_position_bias_table"]
+            )
+        if f"{p}.attn.get_v.weight" in sd:
+            flat[f"{o}/attn/get_v/kernel"] = _np(
+                sd[f"{p}.attn.get_v.weight"]
+            ).transpose(2, 3, 1, 0)
+            flat[f"{o}/attn/get_v/bias"] = _np(sd[f"{p}.attn.get_v.bias"])
+    flat["ln_post/scale"] = _np(sd["norm.weight"])
+    flat["ln_post/bias"] = _np(sd["norm.bias"])
+    return flat
+
+
+def convvit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """cls_vit_cswin.py / cls_vit_conv.py state dict -> ConvViT naming
+    (models/vit_conv.py: patch_embed, pos_embed, blocks_N/{ln_1, attn.qkv/
+    out_proj/get_v, ln_2, mlp.c_fc/c_proj}, ln_post)."""
+    flat: Dict[str, np.ndarray] = {}
+    flat["patch_embed/kernel"] = _np(
+        sd["patch_embed.proj.weight"]
+    ).transpose(2, 3, 1, 0)
+    flat["patch_embed/bias"] = _np(sd["patch_embed.proj.bias"])
+    if "cls_token" in sd:
+        flat["cls_token"] = _np(sd["cls_token"]).reshape(-1)
+    flat["pos_embed"] = _np(sd["pos_embed"])[0]
+    layers = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
+    for i in range(layers):
+        p = f"blocks.{i}"
+        o = f"blocks_{i}"
+        flat[f"{o}/ln_1/scale"] = _np(sd[f"{p}.norm1.weight"])
+        flat[f"{o}/ln_1/bias"] = _np(sd[f"{p}.norm1.bias"])
+        flat[f"{o}/ln_2/scale"] = _np(sd[f"{p}.norm2.weight"])
+        flat[f"{o}/ln_2/bias"] = _np(sd[f"{p}.norm2.bias"])
+        flat[f"{o}/attn/qkv/kernel"] = _np(sd[f"{p}.attn.qkv.weight"]).T
+        if f"{p}.attn.qkv.bias" in sd:
+            flat[f"{o}/attn/qkv/bias"] = _np(sd[f"{p}.attn.qkv.bias"])
+        flat[f"{o}/attn/out_proj/kernel"] = _np(
+            sd[f"{p}.attn.proj.weight"]
+        ).T
+        flat[f"{o}/attn/out_proj/bias"] = _np(sd[f"{p}.attn.proj.bias"])
+        if f"{p}.attn.get_v.weight" in sd:
+            flat[f"{o}/attn/get_v/kernel"] = _np(
+                sd[f"{p}.attn.get_v.weight"]
+            ).transpose(2, 3, 1, 0)
+            flat[f"{o}/attn/get_v/bias"] = _np(sd[f"{p}.attn.get_v.bias"])
+        flat[f"{o}/mlp/c_fc/kernel"] = _np(sd[f"{p}.mlp.fc1.weight"]).T
+        flat[f"{o}/mlp/c_fc/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
+        flat[f"{o}/mlp/c_proj/kernel"] = _np(sd[f"{p}.mlp.fc2.weight"]).T
+        flat[f"{o}/mlp/c_proj/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
     flat["ln_post/scale"] = _np(sd["norm.weight"])
     flat["ln_post/bias"] = _np(sd["norm.bias"])
     return flat

@@ -103,19 +103,23 @@ class StdConv(nn.Conv):
 
 
 class SqueezeExcite(nn.Module):
-    """SE block (lib/layers/se_layer.py)."""
+    """SE block, SELayer-exact (lib/layers/se_layer.py:4-19): bias-free
+    linears and hidden = channels // reduction with no floor (pinned by
+    the executed-reference fixture in tests/test_refexec_models.py)."""
 
     channels: int
-    ratio: float = 0.25
+    ratio: float = 1.0 / 16.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        hidden = max(int(self.channels * self.ratio), 8)
+        hidden = max(int(self.channels * self.ratio), 1)
         s = x.mean(axis=(1, 2))
-        s = nn.Dense(hidden, name="fc1", dtype=self.dtype)(s)
+        s = nn.Dense(hidden, use_bias=False, name="fc1", dtype=self.dtype)(s)
         s = nn.relu(s)
-        s = nn.Dense(self.channels, name="fc2", dtype=self.dtype)(s)
+        s = nn.Dense(
+            self.channels, use_bias=False, name="fc2", dtype=self.dtype
+        )(s)
         s = jax.nn.sigmoid(s)
         return x * s[:, None, None, :]
 
@@ -224,6 +228,10 @@ class ResNet(nn.Module):
     cardinality: int = 1
     base_width: int = 64
     se_ratio: float = 0.0
+    # per-stage SE toggle (cls_resnet make_layer se_list/with_se): when
+    # set, stage si gets SE only if se_stages[si]; se_ratio supplies the
+    # reduction (SELayer default 1/16)
+    se_stages: Optional[Sequence[bool]] = None
     deep_stem: bool = False
     avg_down: bool = False
     frozen_bn: bool = False
@@ -280,6 +288,11 @@ class ResNet(nn.Module):
 
         ch = self.width * 4
         for si, depth in enumerate(self.layers):
+            stage_se = (
+                self.se_ratio
+                if (self.se_stages is None or self.se_stages[si])
+                else 0.0
+            )
             for bi in range(depth):
                 x = Bottleneck(
                     out_channels=ch,
@@ -287,7 +300,7 @@ class ResNet(nn.Module):
                     version=self.version,
                     cardinality=self.cardinality,
                     base_width=self.base_width,
-                    se_ratio=self.se_ratio,
+                    se_ratio=stage_se,
                     frozen_bn=self.frozen_bn,
                     norm=self.norm,
                     weight_standardization=self.weight_standardization,
@@ -336,10 +349,11 @@ def bit_resnet50(**kw) -> ResNet:
 
 
 def se_resnext50_32x4d(**kw) -> ResNet:
+    # SELayer's default reduction is 16 (se_layer.py:5)
     return ResNet(
         layers=(3, 4, 6, 3),
         cardinality=32,
         base_width=4,
-        se_ratio=0.25,
+        se_ratio=1.0 / 16.0,
         **kw,
     )

@@ -14,9 +14,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .resnet import SqueezeExcite
-
 Dtype = Any
+
+
+class ReXNetSE(nn.Module):
+    """ReXNet's own SE (cls_rexnet.py:72-87) — unlike the generic
+    SELayer it runs 1x1 convs WITH bias and a BatchNorm between the
+    reduce conv and the ReLU, and reduces to exactly channels//se_ratio
+    (no floor).  Pinned by the executed-reference fixture."""
+
+    channels: int
+    se_ratio: int = 12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        hidden = max(self.channels // self.se_ratio, 1)
+        s = x.mean(axis=(1, 2), keepdims=True)
+        s = nn.Conv(hidden, (1, 1), name="fc1", dtype=self.dtype)(s)
+        s = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            name="bn",
+            dtype=self.dtype,
+        )(s)
+        s = nn.relu(s)
+        s = nn.Conv(self.channels, (1, 1), name="fc2", dtype=self.dtype)(s)
+        return x * jax.nn.sigmoid(s)
 
 
 class LinearBottleneck(nn.Module):
@@ -62,9 +87,7 @@ class LinearBottleneck(nn.Module):
         )(x)
         x = bn(x, "bn_dw")
         if self.use_se:
-            x = SqueezeExcite(
-                mid, ratio=1.0 / 12, name="se", dtype=self.dtype
-            )(x)
+            x = ReXNetSE(mid, name="se", dtype=self.dtype)(x, train)
         x = jnp.clip(x, 0.0, 6.0)  # relu6
 
         x = nn.Conv(
@@ -82,32 +105,48 @@ class LinearBottleneck(nn.Module):
 
 
 def _rexnet_channels(
-    width_mult: float = 1.0, depth_mult: float = 1.0
+    width_mult: float = 1.0, depth_mult: float = 1.0,
+    input_ch: int = 16, final_ch: int = 180,
 ) -> List[Tuple[int, int, int, float, bool]]:
-    """(in, out, stride, expand, use_se) per block (ReXNet-1.0 recipe)."""
-    layers = [1, 2, 2, 3, 3, 5]
-    strides = [1, 2, 2, 2, 1, 2]
-    layers = [max(int(round(l * depth_mult)), 1) for l in layers]
-    depth = sum(layers)
-    # channels grow linearly from 16 to 180 (+ stem 32)
-    inplanes = 16.0 / width_mult
-    base = 180.0 / depth
-    cfg = []
+    """(in, out, stride, expand, use_se) per block — the EXACT reference
+    schedule (cls_rexnet.py ReXNetV1.__init__:131-170): depths by ceil,
+    stem/input channels divided by width_mult when width_mult < 1 (so the
+    stem stays 32 and block 0's output stays input_ch), NO growth on
+    block 0, inplanes += final_ch/depth before each later block's output,
+    t=1 for every block of the first stage."""
+    import math
+
+    layers = [math.ceil(e * depth_mult) for e in [1, 2, 2, 3, 3, 5]]
     strides_flat = sum(
-        [[s] + [1] * (l - 1) for s, l in zip(strides, layers)], []
+        [[s] + [1] * (l - 1)
+         for s, l in zip([1, 2, 2, 2, 1, 2], layers)],
+        [],
     )
     se_flat = sum(
         [[se] * l for se, l in zip([False, False, True, True, True, True],
                                    layers)],
         [],
     )
-    in_ch = int(round(inplanes * width_mult))
+    depth = sum(layers)
+    ts = [1.0] * layers[0] + [6.0] * (depth - layers[0])
+    stem_raw = 32 / width_mult if width_mult < 1.0 else 32
+    inplanes = input_ch / width_mult if width_mult < 1.0 else input_ch
+    cfg = []
     for i in range(depth):
-        out_ch = int(round((inplanes + base * (i + 1)) * width_mult))
-        expand = 1.0 if i == 0 else 6.0
-        cfg.append((in_ch, out_ch, strides_flat[i], expand, se_flat[i]))
-        in_ch = out_ch
+        if i == 0:
+            cin = int(round(stem_raw * width_mult))
+            cout = int(round(inplanes * width_mult))
+        else:
+            cin = int(round(inplanes * width_mult))
+            inplanes += final_ch / depth
+            cout = int(round(inplanes * width_mult))
+        cfg.append((cin, cout, strides_flat[i], ts[i], se_flat[i]))
     return cfg
+
+
+def rexnet_stem_channels(width_mult: float) -> int:
+    stem_raw = 32 / width_mult if width_mult < 1.0 else 32
+    return int(round(stem_raw * width_mult))
 
 
 class ReXNet(nn.Module):
@@ -121,7 +160,7 @@ class ReXNet(nn.Module):
     ) -> jax.Array:
         train = not deterministic
         x = x.astype(self.dtype)
-        stem_ch = int(round(32 * self.width_mult))
+        stem_ch = rexnet_stem_channels(self.width_mult)
         x = nn.Conv(
             stem_ch,
             (3, 3),
@@ -141,8 +180,6 @@ class ReXNet(nn.Module):
             )(x)
         )
         cfg = _rexnet_channels(self.width_mult, self.depth_mult)
-        # first block consumes the stem channels
-        cfg[0] = (stem_ch, cfg[0][1], cfg[0][2], cfg[0][3], cfg[0][4])
         for i, (cin, cout, s, t, se) in enumerate(cfg):
             x = LinearBottleneck(
                 cin,
@@ -153,7 +190,7 @@ class ReXNet(nn.Module):
                 name=f"block{i}",
                 dtype=self.dtype,
             )(x, train)
-        head_ch = int(round(1280 * self.width_mult))
+        head_ch = int(1280 * self.width_mult)  # reference floors (:172)
         x = nn.Conv(
             head_ch, (1, 1), use_bias=False, name="head_conv",
             dtype=self.dtype,

@@ -150,6 +150,11 @@ class VisionTransformer(nn.Module):
     heads: int = 12
     mlp_ratio: float = 4.0
     style: str = "clip"  # 'clip' | 'timm'
+    # cls_vit.py use_cls_tocken: False drops the class token (pos_embed
+    # has g*g rows) and pools by token MEAN (:401-405) — required by the
+    # RPB / LePE variants whose (g*g, g*g) bias cannot broadcast over a
+    # cls row.  CLIP style always uses the class token.
+    use_cls_token: bool = True
     output_dim: Optional[int] = None  # CLIP projection dim; None = width
     spec: PEFTSpec = PEFTSpec()
     use_flash: bool = True
@@ -189,6 +194,10 @@ class VisionTransformer(nn.Module):
         )
 
     @property
+    def _use_cls(self) -> bool:
+        return self.use_cls_token or self.style == "clip"
+
+    @property
     def grid_size(self) -> int:
         return self.image_size // self.patch_size
 
@@ -219,7 +228,8 @@ class VisionTransformer(nn.Module):
                 return_tokens,
                 start_layer,
                 stop_layer,
-                n_prefix=1 + (spec.prompt_tokens or 0),
+                n_prefix=(1 if self._use_cls else 0)
+                + (spec.prompt_tokens or 0),
             )
 
         x = x.astype(self.dtype)
@@ -245,18 +255,21 @@ class VisionTransformer(nn.Module):
             )(x)
         x = x.reshape(b, g * g, w)
 
-        cls_init = (
-            nn.initializers.normal(stddev=w**-0.5)
-            if self.style == "clip"
-            else nn.initializers.zeros
-        )
-        class_embedding = self.param(
-            "class_embedding", cls_init, (w,), self.param_dtype
-        )
-        cls = jnp.broadcast_to(
-            class_embedding.astype(self.dtype), (b, 1, w)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
+        n_prefix = 0
+        if self._use_cls:
+            cls_init = (
+                nn.initializers.normal(stddev=w**-0.5)
+                if self.style == "clip"
+                else nn.initializers.zeros
+            )
+            class_embedding = self.param(
+                "class_embedding", cls_init, (w,), self.param_dtype
+            )
+            cls = jnp.broadcast_to(
+                class_embedding.astype(self.dtype), (b, 1, w)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+            n_prefix = 1
 
         pos_init = (
             nn.initializers.normal(stddev=0.01)
@@ -266,12 +279,11 @@ class VisionTransformer(nn.Module):
         pos = self.param(
             "positional_embedding",
             pos_init,
-            (g * g + 1, w),
+            (g * g + n_prefix, w),
             self.param_dtype,
         )
         x = x + pos.astype(self.dtype)[None]
 
-        n_prefix = 1
         num_prompts = spec.prompt_tokens
         if num_prompts > 0:
             # VPT: prompts sit between cls and patch tokens; they carry no
@@ -285,8 +297,11 @@ class VisionTransformer(nn.Module):
             pr = jnp.broadcast_to(
                 prompts.astype(self.dtype), (b, num_prompts, w)
             )
-            x = jnp.concatenate([x[:, :1], pr, x[:, 1:]], axis=1)
-            n_prefix = 1 + num_prompts
+            keep = 1 if self._use_cls else 0
+            x = jnp.concatenate(
+                [x[:, :keep], pr, x[:, keep:]], axis=1
+            )
+            n_prefix = keep + num_prompts
 
         x = self._constrain(x)
         if self.style == "clip":
@@ -368,7 +383,8 @@ class VisionTransformer(nn.Module):
         dpr = np.linspace(0.0, self.drop_path_rate, max(total_blocks, 1))
         for i in range(start_layer, end):
             if deep_prompts is not None and 0 < i < self.layers:
-                x = x.at[:, 1 : 1 + num_prompts, :].set(
+                k0 = 1 if self._use_cls else 0
+                x = x.at[:, k0 : k0 + num_prompts, :].set(
                     jnp.broadcast_to(
                         deep_prompts[i - 1].astype(self.dtype),
                         (b, num_prompts, w),
@@ -424,7 +440,10 @@ class VisionTransformer(nn.Module):
                 param_dtype=self.param_dtype,
                 compute_fp32=self.ln_fp32,
             )(x)
-            pooled = x[:, 0, :]
+            # cls_vit.py:401-405: cls token, or mean over all tokens
+            pooled = (
+                x[:, 0, :] if self._use_cls else jnp.mean(x, axis=1)
+            )
 
         if return_tokens:
             return pooled, x

@@ -79,6 +79,12 @@ class ScoreAttention(nn.Module):
     n_prefix: int = 1
     lepe: bool = False
     res_score: bool = False
+    # Reproduce the reference's EXECUTED q/k/v layout: cls_vit_cswin.py
+    # :96-99 reshapes the already-permuted (3,B,N,C) qkvo buffer into
+    # (B,N,3,H,hd), scrambling q/k/v across the batch, while get_lepe
+    # still sees the clean v (qkvo[2]).  Same quirk as few_shot LePE.py
+    # (PEFTSpec.lepe_ref_qkv); default False = clean intended semantics.
+    ref_qkv_scramble: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -94,7 +100,14 @@ class ScoreAttention(nn.Module):
         def split_heads(t):
             return t.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
 
-        qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+        if self.ref_qkv_scramble:
+            qkvo = jnp.transpose(qkv.reshape(b, n, 3, d), (2, 0, 1, 3))
+            scr = jnp.transpose(
+                qkvo.reshape(b, n, 3, h, hd), (2, 0, 3, 1, 4)
+            )
+            qh, kh, vh = scr[0], scr[1], scr[2]
+        else:
+            qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
         scores = (
             jnp.einsum(
                 "bhnd,bhmd->bhnm",
@@ -141,6 +154,7 @@ class ConvViTBlock(nn.Module):
     conv_ratio: float = 1.0
     lepe: bool = False
     res_score: bool = False
+    ref_qkv_scramble: bool = False
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -161,6 +175,7 @@ class ConvViTBlock(nn.Module):
                 n_prefix=self.n_prefix,
                 lepe=self.lepe,
                 res_score=self.res_score,
+                ref_qkv_scramble=self.ref_qkv_scramble,
                 name="attn",
                 **kw,
             )(LayerNorm(name="ln_1", param_dtype=self.param_dtype)(x), prev)
@@ -227,6 +242,7 @@ class ConvViT(nn.Module):
     conv_ratio: float = 1.0
     lepe: bool = False
     res_score: bool = False
+    ref_qkv_scramble: bool = False
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -289,6 +305,7 @@ class ConvViT(nn.Module):
                 conv_ratio=self.conv_ratio,
                 lepe=self.lepe,
                 res_score=self.res_score,
+                ref_qkv_scramble=self.ref_qkv_scramble,
                 drop_path=float(dpr[i]),
                 name=f"blocks_{i}",
                 dtype=self.dtype,

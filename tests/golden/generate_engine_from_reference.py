@@ -409,8 +409,146 @@ def gen_sweep():
     print("stepdecay:", lrs[:5])
 
 
+
+
+# --------------------------------------------- round-3 additions (D)
+
+def contrastive_inputs(seed=61, b=6, d=8):
+    rand = _seeded(seed)
+    img = rand(b, d)
+    txt = rand(b, d)
+    labels = torch.tensor([0, 1, 2, 0, 1, 0])
+    return img, txt, labels
+
+
+def gen_hybrid_contrastive():
+    """criterion.py HybridContrastive (:21-46) executed exactly as
+    linear_classifier_contrast.py:260-264 drives it: logits = T *
+    norm(img) @ norm(txt).T, targets = same-class indicator matrix,
+    normalized soft-target CE in both directions."""
+    crit = _load_plain("_ref_criterion",
+                       os.path.join(FEW, "criterion.py"))
+    img, txt, labels = contrastive_inputs()
+    logit_scale = 1.7
+    imgn = img / img.norm(dim=-1, keepdim=True)
+    txtn = txt / txt.norm(dim=-1, keepdim=True)
+    logits = float(np.exp(logit_scale)) * imgn @ txtn.t()
+    targets = (labels.view(-1, 1) == labels.view(1, -1)).float()
+    with torch.no_grad():
+        OUT["hybrid_loss"] = crit.HybridContrastive()(
+            logits, targets).item()
+        OUT["hybrid_loss_i2t"] = crit.HybridContrastive(
+            loss_type="i2t")(logits, targets).item()
+    OUT["hybrid_logit_scale"] = logit_scale
+    print("hybrid:", OUT["hybrid_loss"], OUT["hybrid_loss_i2t"])
+
+
+def bn_probe_inputs(seed=62, b=8, d=6, classes=3):
+    rand = _seeded(seed)
+    feats_train = [rand(b, d) for _ in range(3)]
+    feats_eval = rand(b, d)
+    w = rand(classes, d) * 0.2
+    bias = rand(classes) * 0.2
+    return feats_train, feats_eval, w, bias
+
+
+def gen_bn_probe():
+    """linear_classifier.py Classifier (:38-57): BatchNorm1d(affine=
+    False) -> Linear.  Executes three TRAIN-mode forwards (batch stats +
+    running-stat updates at torch's default momentum 0.1) then an
+    EVAL-mode forward (running stats) — pinning the probe's BN
+    semantics across the sweep's train/validate cycle."""
+    stubs_needed = False  # torch-only file? it imports .feature etc.
+    # linear_classifier.py pulls the package; reuse the few_shot loader
+    pkg = sys.modules.get("_refpkg")
+    if pkg is None:
+        stubs_needed = True
+    mod = _load_few_shot_file("linear_classifier.py")
+    del stubs_needed
+    feats_train, feats_eval, w, bias = bn_probe_inputs()
+    m = mod.Classifier(feats_train[0].shape[1], w.shape[0], 0.0)
+    with torch.no_grad():
+        m.layers[0].weight.copy_(w)
+        m.layers[0].bias.copy_(bias)
+    m.train()
+    outs = []
+    for f in feats_train:
+        outs.append(m(f).detach().numpy())
+    m.eval()
+    with torch.no_grad():
+        out_eval = m(feats_eval).numpy()
+    for i, o in enumerate(outs):
+        OUT[f"bn_probe_train{i}"] = o
+    OUT["bn_probe_eval"] = out_eval
+    OUT["bn_probe_running_mean"] = m.channel_bn.running_mean.numpy()
+    OUT["bn_probe_running_var"] = m.channel_bn.running_var.numpy()
+    print("bn_probe eval:", float(np.abs(out_eval).mean()))
+
+
+def _load_few_shot_file(fname):
+    """Package-context loader for few_shot evaluation files (stubs for
+    feature/optim/metric/timm)."""
+    import importlib.util
+
+    for name, attrs in (
+        ("_refpkg", {}),
+        ("_refpkg.evaluation", {}),
+        ("_refpkg.evaluation.feature", {"FeatureData": object,
+                                        "get_model": lambda *a, **k: None}),
+        ("_refpkg.evaluation.metric", {"get_metric": lambda *a, **k: None}),
+        ("_refpkg.optim", {"build_optimizer": lambda *a, **k: None}),
+    ):
+        if name not in sys.modules:
+            mod = _stub(name, **attrs)
+            mod.__path__ = []
+    name = "_refpkg.evaluation." + fname[:-3]
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(FEW, fname)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+TOKENIZER_SAMPLES = [
+    "a photo of a dog.",
+    "a bad photo of the {}.".format("forest"),
+    "itap of a traffic light.",
+    "a black-and-white photo of a 1955 Chevrolet Bel-Air.",
+    "x-ray of chest, Infiltration",
+    "satellite imagery of a river; cloudy",
+    "This is a photo of a large Boeing 747-400",
+    "a plastic toy giraffe",
+]
+
+
+def gen_tokenizer():
+    """datasets/simple_tokenizer.py SimpleTokenizer executed with the
+    reference's own bpe_simple_vocab_16e6.txt.gz.  ftfy is stubbed as
+    identity — fix_text is a unicode normalizer and every sample here is
+    ASCII, so the executed path (html.unescape, regex split, BPE merge,
+    SOT/EOT framing at context 77) is the reference's own."""
+    if "ftfy" not in sys.modules:
+        _stub("ftfy", fix_text=lambda s: s)
+    tok_mod = _load_plain(
+        "_ref_simple_tokenizer",
+        os.path.join(os.path.dirname(FEW), "datasets",
+                     "simple_tokenizer.py"),
+    )
+    bpe = os.path.join(os.path.dirname(FEW), "datasets",
+                       "bpe_simple_vocab_16e6.txt.gz")
+    tok = tok_mod.SimpleTokenizer(bpe_path=bpe)
+    ids = tok.tokenize(TOKENIZER_SAMPLES, context_length=77)
+    OUT["tokenizer_ids"] = ids.numpy()
+    print("tokenizer ids:", ids.shape, ids[0, :8].tolist())
+
+
 def main():
     gen_schedules()
+    gen_hybrid_contrastive()
+    gen_bn_probe()
+    gen_tokenizer()
     gen_larc()
     gen_ema()
     gen_losses()

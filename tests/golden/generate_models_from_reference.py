@@ -196,7 +196,135 @@ def gen_cls_vit(seed=32, b=2, image=32, patch=8, embed=32, depth=2,
     print("refexec_cls_vit:", logits.shape, float(logits.abs().mean()))
 
 
+
+
+def _gen_vit_variant(fname, outname, seed, *, depth=2, width=32, heads=2,
+                     image=32, patch=8, use_cls=True, classes=5, **mkw):
+    """Shared driver for the full_shot PEFT ViT variants (all timm-style
+    VisionTransformer clones differing only in the injected modules)."""
+    _install_stubs()
+    ref = _load_plain("_ref_" + fname[:-3], os.path.join(FULL, fname))
+    m = ref.VisionTransformer(
+        img_size=image, patch_size=patch, num_classes=classes,
+        embed_dim=width, depth=depth, num_heads=heads, qkv_bias=True,
+        pre_norm=True, use_cls_tocken=use_cls, **mkw,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        feats = m.forward_features(x)
+        logits = m(x)
+    if isinstance(feats, tuple):
+        feats = feats[0]
+    out = {
+        "x": x.numpy(),
+        "feats": feats.numpy(),
+        "logits": logits.numpy(),
+        "heads": np.asarray(heads),
+        "use_cls": np.asarray(1 if use_cls else 0),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, outname), **out)
+    print(f"{outname[:-4]}:", logits.shape, float(logits.abs().mean()))
+
+
+def gen_vit_variants():
+    """Execute every loadable full_shot PEFT ViT variant:
+
+    * cls_vit_lora — supervised pre-scale q/v LoRA (clean reshapes)
+    * cls_vit_adapter — post-MLP adapter in EVERY block (:560)
+    * cls_vit_adapterdrop_lora — LoRA everywhere, adapter params in every
+      block but EXECUTED only at id==11 (:710-714) => depth 12
+    * cls_vit_position_bias — RPB with the hardcoded ndim=7 (:80) =>
+      49 tokens, so use_cls_tocken=False (the bias cannot broadcast over
+      a cls row) and mean pooling
+    * cls_vit_cswin — LePE with the qkvo reshape scramble (:96-99) and
+      get_lepe's hardcoded 8-head reshape (:90) => heads=8, no cls
+    """
+    _gen_vit_variant("cls_vit_lora.py", "refexec_vit_lora.npz", 41)
+    _gen_vit_variant("cls_vit_adapter.py", "refexec_vit_adapter.npz", 42)
+    _gen_vit_variant(
+        "cls_vit_adapterdrop_lora.py",
+        "refexec_vit_adapterdrop_lora.npz", 43, depth=12,
+    )
+    _gen_vit_variant(
+        "cls_vit_position_bias.py", "refexec_vit_rpb.npz", 44,
+        width=16, image=56, use_cls=False,
+    )
+    _gen_vit_variant(
+        "cls_vit_cswin.py", "refexec_vit_cswin.npz", 45,
+        heads=8, use_cls=False,
+    )
+
+
 if __name__ == "__main__":
     gen_clip_model()
     gen_lora_clip_model()
     gen_cls_vit()
+    gen_vit_variants()
+    gen_rexnet()
+    gen_resnet()
+
+
+def gen_rexnet(seed=51, wm=0.5, dm=0.5, image=64, classes=5):
+    """cls_rexnet.py ReXNetV1 executed whole (:123-185): pins the exact
+    channel schedule (ceil depths, stem/inplanes DIVIDED by width_mult
+    below 1, no growth on block 0, inplanes += final_ch/depth), the
+    partial-channel residual, and ReXNet's own SE (conv+BN+relu+conv,
+    channels//12, cls_rexnet.py:72-87)."""
+    ref = _load_plain("_ref_cls_rexnet", os.path.join(FULL,
+                                                      "cls_rexnet.py"))
+    m = ref.ReXNetV1(width_mult=wm, depth_mult=dm, classes=classes).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        logits = m(x)
+    out = {
+        "x": x.numpy(),
+        "logits": logits.numpy(),
+        "wm": np.asarray(wm),
+        "dm": np.asarray(dm),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_rexnet.npz"), **out)
+    print("refexec_rexnet:", logits.shape, float(logits.abs().mean()))
+
+
+def gen_resnet(seed=52, image=64, classes=5):
+    """cls_resnet.py executed whole at R50-family geometry (width 16,
+    stem_factor 0.25, stages (1, 1)): stage 1 plain, stage 2 stride 2
+    with SELayer and the avg_down (ResNet-D) downsample — pins the
+    post-act bottleneck, SE placement (after bn3, before the residual),
+    SELayer's bias-free //16 reduction, and the avgpool+1x1 shortcut."""
+    lib_dir = os.path.dirname(FULL)  # .../main/lib — so `layers` resolves
+    sys.path.insert(0, lib_dir)
+    try:
+        ref = _load_plain("_ref_cls_resnet",
+                          os.path.join(FULL, "cls_resnet.py"))
+    finally:
+        sys.path.remove(lib_dir)
+    RN, Bot = ref.ResNet, ref.Bottleneck
+    stage1 = RN.make_layer(
+        Bot, 1, 1, avg_down=True, in_channels=16, out_channels=64,
+        dropblock=None, bottleneck_channels=16,
+    )
+    stage2 = RN.make_layer(
+        Bot, 1, 2, avg_down=True, in_channels=64, out_channels=128,
+        dropblock=None, bottleneck_channels=32, with_se=True,
+    )
+    m = RN([stage1, stage2], res5_out_channels=128, num_classes=classes,
+           stem_factor=0.25).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        logits = m(x)
+    out = {
+        "x": x.numpy(),
+        "logits": logits.numpy(),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_resnet.npz"), **out)
+    print("refexec_resnet:", logits.shape, float(logits.abs().mean()))

@@ -37,6 +37,8 @@ from generate_engine_from_reference import (  # noqa: E402
     score_fn_lr,
 )
 
+import generate_engine_from_reference as _genref  # noqa: E402
+
 sys.path.pop(0)
 
 G = np.load(os.path.join(GOLDEN, "refexec_engine.npz"))
@@ -369,3 +371,84 @@ class TestSweepRefexec:
         # the left-wd refinement bug (43 clean vs 40 reference)
         assert _nearest(best_wd) == 43
         assert _nearest(float(G["sweep_lr_best_wd"])) == 40
+
+
+class TestContrastiveRefexec:
+    def test_hybrid_contrastive(self):
+        contrastive_inputs = _genref.contrastive_inputs
+        from peft_vit_tpu.engine.loss import hybrid_contrastive_loss
+
+        img, txt, labels = contrastive_inputs()
+        ours = float(
+            hybrid_contrastive_loss(
+                jnp.asarray(img.numpy()),
+                jnp.asarray(txt.numpy()),
+                jnp.asarray(labels.numpy()),
+                jnp.asarray(float(G["hybrid_logit_scale"])),
+            )
+        )
+        assert ours == pytest.approx(float(G["hybrid_loss"]), rel=1e-5)
+
+
+class TestBnProbeRefexec:
+    def test_bn_probe_train_eval_cycle(self):
+        """linear_classifier.py Classifier executed: 3 train-mode
+        forwards (batch stats + torch's momentum-0.1 running update with
+        UNBIASED batch variance) then an eval forward on the running
+        stats — the probe BN semantics the sweep trains/validates with."""
+        bn_probe_inputs = _genref.bn_probe_inputs
+        from peft_vit_tpu.models.classifier import ClassifierHead
+
+        feats_train, feats_eval, w, bias = bn_probe_inputs()
+        head = ClassifierHead(num_classes=w.shape[0], use_bn=True)
+        x0 = jnp.asarray(feats_train[0].numpy())
+        variables = head.init(jax.random.PRNGKey(0), x0)
+        from flax import traverse_util
+
+        pf = traverse_util.flatten_dict(variables["params"], sep="/")
+        pf["head/kernel"] = jnp.asarray(w.numpy().T)
+        pf["head/bias"] = jnp.asarray(bias.numpy())
+        params = traverse_util.unflatten_dict(pf, sep="/")
+        stats = variables["batch_stats"]
+        for i, f in enumerate(feats_train):
+            out, upd = head.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(f.numpy()),
+                train=True,
+                mutable=["batch_stats"],
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), G[f"bn_probe_train{i}"],
+                rtol=1e-4, atol=1e-5,
+            )
+            stats = upd["batch_stats"]
+        sf = traverse_util.flatten_dict(stats, sep="/")
+        np.testing.assert_allclose(
+            np.asarray(sf["channel_bn/bn_mean"]),
+            G["bn_probe_running_mean"], rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sf["channel_bn/bn_var"]),
+            G["bn_probe_running_var"], rtol=1e-4, atol=1e-6,
+        )
+        out_eval = head.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(feats_eval.numpy()),
+            train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_eval), G["bn_probe_eval"],
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+class TestTokenizerRefexec:
+    def test_clip_bpe_ids(self):
+        TOKENIZER_SAMPLES = _genref.TOKENIZER_SAMPLES
+        from peft_vit_tpu.data.tokenizer import get_tokenizer
+
+        tok = get_tokenizer()
+        ids = tok.tokenize(TOKENIZER_SAMPLES, context_length=77)
+        np.testing.assert_array_equal(
+            np.asarray(ids), G["tokenizer_ids"]
+        )

@@ -177,3 +177,277 @@ class TestLoraClipRefexec:
         np.testing.assert_allclose(
             np.asarray(ft), g["feats_txt"], rtol=1e-4, atol=1e-5
         )
+
+
+class TestVitVariantsRefexec:
+    """full_shot PEFT ViT variants executed end-to-end (see
+    generate_models_from_reference.gen_vit_variants for what each pins)."""
+
+    def _run(self, fname, spec, conv=False, **model_kw):
+        from peft_vit_tpu.models.convert import convvit_state_dict_to_tree
+        from peft_vit_tpu.models.vit_conv import ConvViT
+
+        g = np.load(os.path.join(GOLDEN, fname))
+        sd = _sd(g)
+        width = sd["pos_embed"].shape[-1]
+        layers = len(
+            {k.split(".")[1] for k in sd if k.startswith("blocks.")}
+        )
+        patch = sd["patch_embed.proj.weight"].shape[-1]
+        use_cls = bool(int(g["use_cls"]))
+        n_tok = sd["pos_embed"].shape[1] - (1 if use_cls else 0)
+        image = patch * int(np.sqrt(n_tok))
+        if conv:
+            model = ConvViT(
+                image_size=image, patch_size=patch, width=width,
+                layers=layers, heads=int(g["heads"]),
+                use_cls_token=use_cls, **model_kw,
+            )
+            flat_src = convvit_state_dict_to_tree(sd)
+        else:
+            model = VisionTransformer(
+                image_size=image, patch_size=patch, width=width,
+                layers=layers, heads=int(g["heads"]), style="timm",
+                spec=spec, use_cls_token=use_cls, use_flash=False,
+                **model_kw,
+            )
+            flat_src = timm_vit_state_dict_to_tree(sd)
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        params, missing = graft(params, flat_src)
+        assert not missing
+        feats = model.apply({"params": params}, x, True)
+        np.testing.assert_allclose(
+            np.asarray(feats), g["feats"], rtol=1e-4, atol=1e-5
+        )
+        logits = (
+            np.asarray(feats) @ sd["head.weight"].T + sd["head.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=1e-4, atol=1e-5
+        )
+
+    def test_vit_lora(self):
+        from peft_vit_tpu.peft import PEFTSpec
+
+        self._run(
+            "refexec_vit_lora.npz",
+            PEFTSpec(
+                method="lora", attn_delta="lora", lora_rank=4,
+                lora_alpha=128.0, lora_post_scale_q=False,
+                lora_targets=("q", "v"),
+            ),
+        )
+
+    def test_vit_adapter(self):
+        # Executed-reference finding: cls_vit_adapter's forward_features
+        # ships with a leftover `if id == 0` (":561-565, '### adapterdrop
+        # test, need to modify for adapter'") — the adapter EXECUTES only
+        # in block 0 even though params exist everywhere.  Matched here
+        # with adapter_layers=(0,); our `--method adapter` default keeps
+        # the intended every-block semantics (as few_shot adapter_clip
+        # does).  Documented in PARITY.md.
+        from peft_vit_tpu.peft import PEFTSpec
+
+        self._run(
+            "refexec_vit_adapter.npz",
+            PEFTSpec(
+                method="adapter", adapter="houlsby", adapter_dim=64,
+                adapter_act="relu", adapter_layers=(0,),
+            ),
+        )
+
+    def test_vit_adapterdrop_lora(self):
+        # Executed-reference finding: cls_vit_adapterdrop_lora.py defines
+        # a LoraAttention class (:59) that is NEVER used — Block wires the
+        # plain Attention (:244), so the shipped model is adapter-drop
+        # (adapter executes only at id==11, :710-714) with dead LoRA code.
+        # Matched here without attn_delta; our `lora_drop_adapter` method
+        # additionally implements the evidently intended LoRA+drop combo.
+        # Documented in PARITY.md.
+        from peft_vit_tpu.peft import PEFTSpec
+
+        self._run(
+            "refexec_vit_adapterdrop_lora.npz",
+            PEFTSpec(
+                method="adapterdrop", adapter="houlsby",
+                adapter_dim=64, adapter_act="relu",
+                adapter_layers=(11,),
+            ),
+        )
+
+    def test_vit_rpb(self):
+        from peft_vit_tpu.peft import PEFTSpec
+
+        self._run(
+            "refexec_vit_rpb.npz",
+            PEFTSpec(method="rpb", attn_bias="rpb", rpb_ndim=-1),
+        )
+
+    def test_vit_cswin(self):
+        self._run(
+            "refexec_vit_cswin.npz",
+            None,
+            conv=True,
+            lepe=True,
+            ref_qkv_scramble=True,
+        )
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+class TestRexnetRefexec:
+    def test_rexnet_end_to_end(self):
+        """Whole ReXNetV1 executed (cls_rexnet.py): exact channel
+        schedule, partial-channel residual, BN-carrying SE."""
+        from peft_vit_tpu.models.rexnet import ReXNet, _rexnet_channels
+
+        g = np.load(os.path.join(GOLDEN, "refexec_rexnet.npz"))
+        sd = _sd(g)
+        wm, dm = float(g["wm"]), float(g["dm"])
+        cfg = _rexnet_channels(wm, dm)
+        depth = len(cfg)
+
+        params, stats = {}, {}
+
+        def put_conv(path, key):
+            params[path + "/kernel"] = _conv(sd[key + ".weight"])
+            if key + ".bias" in sd:
+                params[path + "/bias"] = sd[key + ".bias"]
+
+        def put_bn(path, key):
+            params[path + "/scale"] = sd[key + ".weight"]
+            params[path + "/bias"] = sd[key + ".bias"]
+            stats[path + "/mean"] = sd[key + ".running_mean"]
+            stats[path + "/var"] = sd[key + ".running_var"]
+
+        put_conv("stem", "features.0")
+        put_bn("stem_bn", "features.1")
+        for i, (cin, cout, s, t, se) in enumerate(cfg):
+            base = f"features.{3 + i}.out"
+            o = f"block{i}"
+            j = 0
+            if t != 1:
+                put_conv(f"{o}/expand", f"{base}.{j}")
+                put_bn(f"{o}/bn_expand", f"{base}.{j + 1}")
+                j += 3  # conv, bn, swish
+            put_conv(f"{o}/dw", f"{base}.{j}")
+            put_bn(f"{o}/bn_dw", f"{base}.{j + 1}")
+            j += 2
+            if se:
+                put_conv(f"{o}/se/fc1", f"{base}.{j}.fc.0")
+                put_bn(f"{o}/se/bn", f"{base}.{j}.fc.1")
+                put_conv(f"{o}/se/fc2", f"{base}.{j}.fc.3")
+                j += 1
+            j += 1  # ReLU6
+            put_conv(f"{o}/project", f"{base}.{j}")
+            put_bn(f"{o}/bn_project", f"{base}.{j + 1}")
+        put_conv("head_conv", f"features.{3 + depth}")
+        put_bn("head_bn", f"features.{4 + depth}")
+
+        from flax import traverse_util
+
+        model = ReXNet(width_mult=wm, depth_mult=dm)
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        vflat = traverse_util.flatten_dict(variables["params"], sep="/")
+        assert set(vflat) == set(params), (
+            sorted(set(vflat) ^ set(params))[:6]
+        )
+        for k, v in params.items():
+            assert vflat[k].shape == v.shape, (k, vflat[k].shape, v.shape)
+        sflat = traverse_util.flatten_dict(
+            variables["batch_stats"], sep="/"
+        )
+        assert set(sflat) == set(stats)
+        feats = model.apply(
+            {
+                "params": traverse_util.unflatten_dict(params, sep="/"),
+                "batch_stats": traverse_util.unflatten_dict(
+                    stats, sep="/"
+                ),
+            },
+            x,
+            True,
+        )
+        w = sd["output.1.weight"]  # (classes, pen, 1, 1)
+        logits = (
+            np.asarray(feats) @ w.reshape(w.shape[0], -1).T
+            + sd["output.1.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=1e-4, atol=1e-5
+        )
+
+
+class TestResnetRefexec:
+    def test_resnet_end_to_end(self):
+        """cls_resnet.py executed: post-act bottleneck, SELayer after bn3,
+        avg_down (ResNet-D) shortcut, R50-family geometry at width 16."""
+        from peft_vit_tpu.models.resnet import ResNet
+
+        g = np.load(os.path.join(GOLDEN, "refexec_resnet.npz"))
+        sd = _sd(g)
+
+        params, stats = {}, {}
+
+        def put_conv(path, key):
+            params[path + "/kernel"] = _conv(sd[key + ".weight"])
+
+        def put_bn(path, key):
+            params[path + "/scale"] = sd[key + ".weight"]
+            params[path + "/bias"] = sd[key + ".bias"]
+            stats[path + "/mean"] = sd[key + ".running_mean"]
+            stats[path + "/var"] = sd[key + ".running_var"]
+
+        put_conv("conv1", "conv1")
+        put_bn("bn1", "bn1")
+        for si in (1, 2):
+            o = f"layer{si}_block0"
+            p = f"layer{si}.0"
+            for c in ("conv1", "conv2", "conv3"):
+                put_conv(f"{o}/{c}", f"{p}.{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                put_bn(f"{o}/{b}", f"{p}.{b}")
+            # avg_down shortcut: Sequential(AvgPool, Conv, BN)
+            put_conv(f"{o}/downsample", f"{p}.downsample.1")
+            put_bn(f"{o}/bn_down", f"{p}.downsample.2")
+            if f"{p}.se.fc.0.weight" in sd:
+                params[f"{o}/se/fc1/kernel"] = sd[f"{p}.se.fc.0.weight"].T
+                params[f"{o}/se/fc2/kernel"] = sd[f"{p}.se.fc.2.weight"].T
+
+        from flax import traverse_util
+
+        model = ResNet(
+            layers=(1, 1),
+            width=16,
+            se_ratio=1.0 / 16.0,
+            se_stages=(False, True),
+            avg_down=True,
+        )
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        vflat = traverse_util.flatten_dict(variables["params"], sep="/")
+        assert set(vflat) == set(params), (
+            sorted(set(vflat) ^ set(params))[:6]
+        )
+        for k, v in params.items():
+            assert vflat[k].shape == v.shape, (k, vflat[k].shape, v.shape)
+        feats = model.apply(
+            {
+                "params": traverse_util.unflatten_dict(params, sep="/"),
+                "batch_stats": traverse_util.unflatten_dict(
+                    stats, sep="/"
+                ),
+            },
+            x,
+            True,
+        )
+        logits = (
+            np.asarray(feats) @ sd["fc.weight"].T + sd["fc.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=1e-4, atol=1e-5
+        )
