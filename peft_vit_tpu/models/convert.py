@@ -442,11 +442,16 @@ def timm_vit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
     return flat
 
 
-def convvit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
+def convvit_state_dict_to_tree(
+    sd: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """cls_vit_cswin.py / cls_vit_conv.py state dict -> ConvViT naming
     (models/vit_conv.py: patch_embed, pos_embed, blocks_N/{ln_1, attn.qkv/
-    out_proj/get_v, ln_2, mlp.c_fc/c_proj}, ln_post)."""
+    out_proj/get_v, ln_2, mlp.c_fc/c_proj, ln_3, conv.pw1/dw/bn/pw2},
+    ln_post).  Returns (params, batch_stats) — the conv mixer's BN
+    carries running statistics."""
     flat: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
     flat["patch_embed/kernel"] = _np(
         sd["patch_embed.proj.weight"]
     ).transpose(2, 3, 1, 0)
@@ -474,13 +479,35 @@ def convvit_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
                 sd[f"{p}.attn.get_v.weight"]
             ).transpose(2, 3, 1, 0)
             flat[f"{o}/attn/get_v/bias"] = _np(sd[f"{p}.attn.get_v.bias"])
-        flat[f"{o}/mlp/c_fc/kernel"] = _np(sd[f"{p}.mlp.fc1.weight"]).T
-        flat[f"{o}/mlp/c_fc/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
-        flat[f"{o}/mlp/c_proj/kernel"] = _np(sd[f"{p}.mlp.fc2.weight"]).T
-        flat[f"{o}/mlp/c_proj/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
+        if f"{p}.mlp.fc1.weight" in sd:
+            flat[f"{o}/mlp/c_fc/kernel"] = _np(sd[f"{p}.mlp.fc1.weight"]).T
+            flat[f"{o}/mlp/c_fc/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
+            flat[f"{o}/mlp/c_proj/kernel"] = _np(
+                sd[f"{p}.mlp.fc2.weight"]
+            ).T
+            flat[f"{o}/mlp/c_proj/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
+        if f"{p}.conv.0.weight" in sd:
+            # pw-glu-dw-bn-swish-pw mixer (cls_vit_conv.py:199-216)
+            flat[f"{o}/ln_3/scale"] = _np(sd[f"{p}.norm3.weight"])
+            flat[f"{o}/ln_3/bias"] = _np(sd[f"{p}.norm3.bias"])
+            flat[f"{o}/conv/pw1/kernel"] = _np(
+                sd[f"{p}.conv.0.weight"]
+            ).transpose(2, 3, 1, 0)
+            flat[f"{o}/conv/dw/kernel"] = _np(
+                sd[f"{p}.conv.2.weight"]
+            ).transpose(2, 3, 1, 0)
+            flat[f"{o}/conv/bn/scale"] = _np(sd[f"{p}.conv.3.weight"])
+            flat[f"{o}/conv/bn/bias"] = _np(sd[f"{p}.conv.3.bias"])
+            stats[f"{o}/conv/bn/mean"] = _np(
+                sd[f"{p}.conv.3.running_mean"]
+            )
+            stats[f"{o}/conv/bn/var"] = _np(sd[f"{p}.conv.3.running_var"])
+            flat[f"{o}/conv/pw2/kernel"] = _np(
+                sd[f"{p}.conv.5.weight"]
+            ).transpose(2, 3, 1, 0)
     flat["ln_post/scale"] = _np(sd["norm.weight"])
     flat["ln_post/bias"] = _np(sd["norm.bias"])
-    return flat
+    return flat, stats
 
 
 def graft(params: Dict[str, Any], flat_src: Dict[str, np.ndarray],
@@ -581,3 +608,75 @@ def load_torch_checkpoint(
     ):
         obj = obj["model"]
     return obj
+
+
+def swin_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Official Swin state dict (cls_swin.py / microsoft Swin naming) ->
+    our SwinTransformer naming (models/swin.py).  Buffers
+    (relative_position_index, attn_mask) are static here and skipped."""
+    flat: Dict[str, np.ndarray] = {}
+    flat["patch_embed/kernel"] = _np(
+        sd["patch_embed.proj.weight"]
+    ).transpose(2, 3, 1, 0)
+    flat["patch_embed/bias"] = _np(sd["patch_embed.proj.bias"])
+    if "patch_embed.norm.weight" in sd:
+        flat["pos_norm/scale"] = _np(sd["patch_embed.norm.weight"])
+        flat["pos_norm/bias"] = _np(sd["patch_embed.norm.bias"])
+    if "absolute_pos_embed" in sd:
+        flat["absolute_pos_embed"] = _np(sd["absolute_pos_embed"])[0]
+    stages = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("layers.")}
+    )
+    for s in stages:
+        blocks = sorted(
+            {
+                int(k.split(".")[3])
+                for k in sd
+                if k.startswith(f"layers.{s}.blocks.")
+            }
+        )
+        for bi in blocks:
+            p = f"layers.{s}.blocks.{bi}"
+            o = f"stage{s}_block{bi}"
+            flat[f"{o}/ln_1/scale"] = _np(sd[f"{p}.norm1.weight"])
+            flat[f"{o}/ln_1/bias"] = _np(sd[f"{p}.norm1.bias"])
+            flat[f"{o}/ln_2/scale"] = _np(sd[f"{p}.norm2.weight"])
+            flat[f"{o}/ln_2/bias"] = _np(sd[f"{p}.norm2.bias"])
+            flat[f"{o}/attn/in_proj/kernel"] = _np(
+                sd[f"{p}.attn.qkv.weight"]
+            ).T
+            flat[f"{o}/attn/in_proj/bias"] = _np(sd[f"{p}.attn.qkv.bias"])
+            flat[f"{o}/attn/out_proj/kernel"] = _np(
+                sd[f"{p}.attn.proj.weight"]
+            ).T
+            flat[f"{o}/attn/out_proj/bias"] = _np(
+                sd[f"{p}.attn.proj.bias"]
+            )
+            flat[f"{o}/attn/relative_position_bias_table"] = _np(
+                sd[f"{p}.attn.relative_position_bias_table"]
+            )
+            for t in ("q", "v"):
+                if f"{p}.attn.{t}_proj_adapter1.weight" in sd:
+                    flat[f"{o}/attn/{t}_adapter1/kernel"] = _np(
+                        sd[f"{p}.attn.{t}_proj_adapter1.weight"]
+                    ).T
+                    flat[f"{o}/attn/{t}_adapter2/kernel"] = _np(
+                        sd[f"{p}.attn.{t}_proj_adapter2.weight"]
+                    ).T
+            flat[f"{o}/mlp_fc1/kernel"] = _np(sd[f"{p}.mlp.fc1.weight"]).T
+            flat[f"{o}/mlp_fc1/bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
+            flat[f"{o}/mlp_fc2/kernel"] = _np(sd[f"{p}.mlp.fc2.weight"]).T
+            flat[f"{o}/mlp_fc2/bias"] = _np(sd[f"{p}.mlp.fc2.bias"])
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            flat[f"downsample{s}/reduction/kernel"] = _np(
+                sd[f"layers.{s}.downsample.reduction.weight"]
+            ).T
+            flat[f"downsample{s}/norm/scale"] = _np(
+                sd[f"layers.{s}.downsample.norm.weight"]
+            )
+            flat[f"downsample{s}/norm/bias"] = _np(
+                sd[f"layers.{s}.downsample.norm.bias"]
+            )
+    flat["norm/scale"] = _np(sd["norm.weight"])
+    flat["norm/bias"] = _np(sd["norm.bias"])
+    return flat

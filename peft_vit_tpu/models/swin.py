@@ -258,8 +258,12 @@ class PatchMerging(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         h, w = self.input_resolution
         b, n, c = x.shape
+        # official concat order [x0, x1, x2, x3] = (dh,dw) of (0,0),
+        # (1,0), (0,1), (1,1) (cls_swin.py:325-329) — i.e. the H offset
+        # varies FASTEST within the 4c axis; pinned by refexec_swin.npz
+        # (loading official Swin weights needs this exact order)
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(
             b, (h // 2) * (w // 2), 4 * c
         )
         x = LayerNorm(name="norm", param_dtype=self.param_dtype)(x)

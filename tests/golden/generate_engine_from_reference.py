@@ -544,11 +544,54 @@ def gen_tokenizer():
     print("tokenizer ids:", ids.shape, ids[0, :8].tolist())
 
 
+
+
+def intrinsic_inputs(seed=71, d=5, DD=11):
+    rand = _seeded(seed)
+    v = rand(d)
+    x16 = rand(16)
+    return v, x16
+
+
+def gen_intrinsic():
+    """intrinsic/fastfood.py executed: fast_walsh_hadamard_torched and the
+    full fastfood transform H G Pi H (B v_pad) / (divisor * sqrt(DD/LL))
+    (:81-190), plus DenseWrap's dense projection ray (dense.py:46-49:
+    P ~ N(0,1)/sqrt(d), ray = P @ V)."""
+    ff = _load_plain("_ref_fastfood",
+                     os.path.join(LIB, "..", "intrinsic", "fastfood.py"))
+    v, x16 = intrinsic_inputs()
+    OUT["wht_out"] = ff.fast_walsh_hadamard_torched(
+        x16.clone(), 0, normalize=False).numpy()
+    torch.manual_seed(71)
+    np.random.seed(71)
+    BB, Pi, GG, divisor, LL = ff.fastfood_vars(11, device="cpu")
+    with torch.no_grad():
+        ret = ff.fastfood_torched(v.clone(), 11,
+                                  [BB, Pi, GG, divisor, LL],
+                                  device="cpu")
+    OUT["ff_b"] = BB.numpy()
+    OUT["ff_pi"] = Pi.numpy()
+    OUT["ff_g"] = GG.numpy()
+    OUT["ff_divisor"] = float(divisor)
+    OUT["ff_ll"] = int(LL)
+    OUT["ff_ret"] = ret.numpy()
+    # dense ray
+    rand = _seeded(72)
+    P = rand(3, 4, 6) / 6 ** 0.5
+    V = rand(6, 1)
+    OUT["dense_p"] = P.numpy()
+    OUT["dense_v"] = V.numpy()
+    OUT["dense_ray"] = torch.matmul(P, V).squeeze(-1).numpy()
+    print("intrinsic: ff_ret", OUT["ff_ret"][:3].round(4).tolist())
+
+
 def main():
     gen_schedules()
     gen_hybrid_contrastive()
     gen_bn_probe()
     gen_tokenizer()
+    gen_intrinsic()
     gen_larc()
     gen_ema()
     gen_losses()

@@ -61,8 +61,12 @@ def _install_stubs():
                 tensor.normal_(mean, std).clamp_(a, b)
             return tensor
 
+        def to_2tuple(v):
+            return v if isinstance(v, (tuple, list)) else (v, v)
+
         layers.DropPath = DropPath
         layers.trunc_normal_ = trunc_normal_
+        layers.to_2tuple = to_2tuple
         models.layers = layers
         timm.models = models
         sys.modules.update({"timm": timm, "timm.models": models,
@@ -265,6 +269,8 @@ if __name__ == "__main__":
     gen_vit_variants()
     gen_rexnet()
     gen_resnet()
+    gen_swin()
+    gen_vit_conv()
 
 
 def gen_rexnet(seed=51, wm=0.5, dm=0.5, image=64, classes=5):
@@ -328,3 +334,88 @@ def gen_resnet(seed=52, image=64, classes=5):
     _save_sd(out, m)
     np.savez(os.path.join(HERE, "refexec_resnet.npz"), **out)
     print("refexec_resnet:", logits.shape, float(logits.abs().mean()))
+
+
+def gen_swin(seed=53, image=32, patch=4, embed=16, depths=(2, 2),
+             heads=(2, 4), window=4, classes=5):
+    """cls_swin.py SwinTransformer executed whole (official Swin):
+    windowed attention with relative position bias, SHIFTED windows in
+    odd blocks (stage 0 at resolution 8 / window 4 exercises the cyclic
+    shift + attention mask; stage 1's resolution equals the window so
+    shift disables), patch merging, and the final-norm + avgpool head."""
+    _install_stubs()
+    if "_reffs" not in sys.modules:
+        pkg = types.ModuleType("_reffs")
+        pkg.__path__ = []
+        reg = types.ModuleType("_reffs.registry")
+
+        def register_model(fn=None, **kw):
+            if fn is None:
+                return lambda f: f
+            return fn
+
+        reg.register_model = register_model
+        sys.modules["_reffs"] = pkg
+        sys.modules["_reffs.registry"] = reg
+    spec = importlib.util.spec_from_file_location(
+        "_reffs.cls_swin", os.path.join(FULL, "cls_swin.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_reffs.cls_swin"] = mod
+    spec.loader.exec_module(mod)
+    m = mod.SwinTransformer(
+        img_size=image, patch_size=patch, num_classes=classes,
+        embed_dim=embed, depths=list(depths), num_heads=list(heads),
+        window_size=window, drop_path_rate=0.0,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        feats = m.forward_features(x)
+        logits = m(x)
+    out = {
+        "x": x.numpy(),
+        "feats": feats.numpy(),
+        "logits": logits.numpy(),
+        "heads": np.asarray(list(heads)),
+        "depths": np.asarray(list(depths)),
+        "window": np.asarray(window),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_swin.npz"), **out)
+    print("refexec_swin:", logits.shape, float(logits.abs().mean()))
+
+
+def gen_vit_conv(seed=54, image=32, patch=8, embed=32, depth=2, heads=2,
+                 classes=5):
+    """cls_vit_conv.py executed: blocks with the pw-glu-dw-bn-swish-pw
+    conv mixer on the patch grid (:199-216), residual on the LN'd grid,
+    and ADD_CLS pooling the mixer response into the cls token (:236-238).
+    BN inside the mixer carries running statistics."""
+    _install_stubs()
+    ref = _load_plain("_ref_cls_vit_conv",
+                      os.path.join(FULL, "cls_vit_conv.py"))
+    m = ref.VisionTransformer(
+        img_size=image, patch_size=patch, num_classes=classes,
+        embed_dim=embed, depth=depth, num_heads=heads, qkv_bias=True,
+        has_attn=True, has_mlp=True, has_conv=True,
+        conv_ratio=1.0, add_cls=True,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        feats = m.forward_features(x)
+        logits = m(x)
+    if isinstance(feats, tuple):
+        feats = feats[0]
+    out = {
+        "x": x.numpy(),
+        "feats": feats.numpy(),
+        "logits": logits.numpy(),
+        "heads": np.asarray(heads),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_vit_conv.npz"), **out)
+    print("refexec_vit_conv:", logits.shape, float(logits.abs().mean()))

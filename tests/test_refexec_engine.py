@@ -452,3 +452,45 @@ class TestTokenizerRefexec:
         np.testing.assert_array_equal(
             np.asarray(ids), G["tokenizer_ids"]
         )
+
+
+class TestIntrinsicRefexec:
+    def test_wht(self):
+        intrinsic_inputs = _genref.intrinsic_inputs
+        from peft_vit_tpu.peft.intrinsic import _wht_unnorm
+
+        _, x16 = intrinsic_inputs()
+        ours = np.asarray(_wht_unnorm(jnp.asarray(x16.numpy())))
+        np.testing.assert_allclose(ours, G["wht_out"], rtol=1e-5)
+
+    def test_fastfood_transform(self):
+        intrinsic_inputs = _genref.intrinsic_inputs
+        from peft_vit_tpu.peft.intrinsic import (
+            LeafProjection,
+            fastfood_transform,
+        )
+
+        v, _ = intrinsic_inputs()
+        leaf = LeafProjection(
+            b=jnp.asarray(G["ff_b"]),
+            pi=jnp.asarray(G["ff_pi"]),
+            g=jnp.asarray(G["ff_g"]),
+            divisor=jnp.asarray(float(G["ff_divisor"])),
+            dd=11,
+            ll=int(G["ff_ll"]),
+            shape=(11,),
+        )
+        ours = np.asarray(
+            fastfood_transform(jnp.asarray(v.numpy()), leaf)
+        )
+        np.testing.assert_allclose(
+            ours, G["ff_ret"], rtol=1e-5, atol=1e-6
+        )
+
+    def test_dense_ray(self):
+        P = G["dense_p"].reshape(-1, 6)  # (dd, d) flat, as ours stores it
+        v = G["dense_v"].reshape(-1)
+        ours = (P @ v).reshape(3, 4)  # materialize()'s dense branch math
+        np.testing.assert_allclose(
+            ours, G["dense_ray"], rtol=1e-5, atol=1e-6
+        )

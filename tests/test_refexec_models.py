@@ -203,7 +203,7 @@ class TestVitVariantsRefexec:
                 layers=layers, heads=int(g["heads"]),
                 use_cls_token=use_cls, **model_kw,
             )
-            flat_src = convvit_state_dict_to_tree(sd)
+            flat_src, _ = convvit_state_dict_to_tree(sd)
         else:
             model = VisionTransformer(
                 image_size=image, patch_size=patch, width=width,
@@ -447,6 +447,90 @@ class TestResnetRefexec:
         )
         logits = (
             np.asarray(feats) @ sd["fc.weight"].T + sd["fc.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=1e-4, atol=1e-5
+        )
+
+
+class TestSwinRefexec:
+    def test_swin_end_to_end(self):
+        """Official Swin executed whole (cls_swin.py): shifted-window
+        attention with the cyclic-shift mask at stage 0 (resolution 8,
+        window 4), relative position bias, patch merging, final norm +
+        token-mean pooling, via swin_state_dict_to_tree + graft."""
+        from peft_vit_tpu.models.convert import swin_state_dict_to_tree
+        from peft_vit_tpu.models.swin import SwinTransformer
+
+        g = np.load(os.path.join(GOLDEN, "refexec_swin.npz"))
+        sd = _sd(g)
+        embed = sd["patch_embed.proj.weight"].shape[0]
+        patch = sd["patch_embed.proj.weight"].shape[-1]
+        model = SwinTransformer(
+            image_size=32,
+            patch_size=patch,
+            embed_dim=embed,
+            depths=tuple(int(d) for d in g["depths"]),
+            num_heads=tuple(int(h) for h in g["heads"]),
+            window_size=int(g["window"]),
+            use_flash=False,
+        )
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        params, missing = graft(params, swin_state_dict_to_tree(sd))
+        assert not missing
+        feats = model.apply({"params": params}, x, True)
+        np.testing.assert_allclose(
+            np.asarray(feats), g["feats"], rtol=1e-4, atol=1e-5
+        )
+        logits = (
+            np.asarray(feats) @ sd["head.weight"].T + sd["head.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=1e-4, atol=1e-5
+        )
+
+
+class TestVitConvRefexec:
+    def test_vit_conv_end_to_end(self):
+        """cls_vit_conv.py executed: attention + MLP + the pw-glu-dw-bn-
+        swish-pw conv mixer with ADD_CLS (:199-238), BN running stats
+        included; via convvit_state_dict_to_tree."""
+        from peft_vit_tpu.models.convert import convvit_state_dict_to_tree
+        from peft_vit_tpu.models.vit_conv import ConvViT
+        from flax import traverse_util
+
+        g = np.load(os.path.join(GOLDEN, "refexec_vit_conv.npz"))
+        sd = _sd(g)
+        width = sd["pos_embed"].shape[-1]
+        layers = len(
+            {k.split(".")[1] for k in sd if k.startswith("blocks.")}
+        )
+        patch = sd["patch_embed.proj.weight"].shape[-1]
+        image = patch * int(np.sqrt(sd["pos_embed"].shape[1] - 1))
+        model = ConvViT(
+            image_size=image, patch_size=patch, width=width,
+            layers=layers, heads=int(g["heads"]), has_conv=True,
+            add_cls=True, conv_ratio=1.0,
+        )
+        flat_src, flat_stats = convvit_state_dict_to_tree(sd)
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        params, missing = graft(variables["params"], flat_src)
+        assert not missing
+        sflat = traverse_util.flatten_dict(
+            variables["batch_stats"], sep="/"
+        )
+        assert set(sflat) == set(flat_stats)
+        stats = traverse_util.unflatten_dict(flat_stats, sep="/")
+        feats = model.apply(
+            {"params": params, "batch_stats": stats}, x, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(feats), g["feats"], rtol=1e-4, atol=1e-5
+        )
+        logits = (
+            np.asarray(feats) @ sd["head.weight"].T + sd["head.bias"]
         )
         np.testing.assert_allclose(
             logits, g["logits"], rtol=1e-4, atol=1e-5
