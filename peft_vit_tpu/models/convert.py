@@ -680,3 +680,124 @@ def swin_state_dict_to_tree(sd: Dict[str, Any]) -> Dict[str, Any]:
     flat["norm/scale"] = _np(sd["norm.weight"])
     flat["norm/bias"] = _np(sd["norm.bias"])
     return flat
+
+
+def hrnet_state_dict_to_tree(
+    sd: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """cls_hrnet.py HighResolutionNet state dict -> our HRNet naming
+    (models/hrnet.py).  Returns (params, batch_stats); the classifier
+    Linear stays external (our HRNet returns pooled features)."""
+    flat: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def conv(path, key, bias=False):
+        flat[path + "/kernel"] = _np(sd[key + ".weight"]).transpose(
+            2, 3, 1, 0
+        )
+        if bias:
+            flat[path + "/bias"] = _np(sd[key + ".bias"])
+
+    def bn(path, key):
+        flat[path + "/bn/scale"] = _np(sd[key + ".weight"])
+        flat[path + "/bn/bias"] = _np(sd[key + ".bias"])
+        stats[path + "/bn/mean"] = _np(sd[key + ".running_mean"])
+        stats[path + "/bn/var"] = _np(sd[key + ".running_var"])
+
+    conv("stem_conv1", "conv1")
+    bn("stem_bn1", "bn1")
+    conv("stem_conv2", "conv2")
+    bn("stem_bn2", "bn2")
+
+    def bottleneck(path, key):
+        for c in ("conv1", "conv2", "conv3"):
+            conv(f"{path}/{c}", f"{key}.{c}")
+        for b in ("bn1", "bn2", "bn3"):
+            bn(f"{path}/{b}", f"{key}.{b}")
+        if f"{key}.downsample.0.weight" in sd:
+            conv(f"{path}/downsample", f"{key}.downsample.0")
+            bn(f"{path}/bn_down", f"{key}.downsample.1")
+
+    def basic(path, key):
+        for c in ("conv1", "conv2"):
+            conv(f"{path}/{c}", f"{key}.{c}")
+        for b in ("bn1", "bn2"):
+            bn(f"{path}/{b}", f"{key}.{b}")
+
+    k = 0
+    while f"layer1.{k}.conv1.weight" in sd:
+        bottleneck(f"layer1_block{k}", f"layer1.{k}")
+        k += 1
+
+    # transitions: reference transition{si+1}.{bi} is Sequential(conv,
+    # bn, relu) for an existing branch with a channel change, or
+    # Sequential(Sequential(conv, bn, relu)) for the new lowest branch
+    si = 0
+    while any(key.startswith(f"transition{si + 1}.") for key in sd):
+        bi = 0
+        while True:
+            plain = f"transition{si + 1}.{bi}.0.weight"
+            nested = f"transition{si + 1}.{bi}.0.0.weight"
+            if plain in sd:
+                conv(f"transition{si}_{bi}", f"transition{si + 1}.{bi}.0")
+                bn(f"transition{si}_bn{bi}", f"transition{si + 1}.{bi}.1")
+            elif nested in sd:
+                conv(f"transition{si}_{bi}",
+                     f"transition{si + 1}.{bi}.0.0")
+                bn(f"transition{si}_bn{bi}",
+                   f"transition{si + 1}.{bi}.0.1")
+            elif not any(
+                key.startswith(f"transition{si + 1}.{bi + 1}.")
+                for key in sd
+            ) and bi > 4:
+                break
+            bi += 1
+            if bi > 8:
+                break
+        si += 1
+
+    # stages
+    for s in (2, 3, 4):
+        m = 0
+        while any(key.startswith(f"stage{s}.{m}.") for key in sd):
+            base = f"stage{s}.{m}"
+            o = f"stage{s}_module{m}"
+            b = 0
+            while f"{base}.branches.{b}.0.conv1.weight" in sd:
+                blk = 0
+                while f"{base}.branches.{b}.{blk}.conv1.weight" in sd:
+                    basic(f"{o}/branch{b}_block{blk}",
+                          f"{base}.branches.{b}.{blk}")
+                    blk += 1
+                b += 1
+            for i in range(b):
+                for j in range(b):
+                    if j > i:
+                        conv(f"{o}/fuse/up_{j}_{i}",
+                             f"{base}.fuse_layers.{i}.{j}.0")
+                        bn(f"{o}/fuse/up_bn_{j}_{i}",
+                           f"{base}.fuse_layers.{i}.{j}.1")
+                    elif j < i:
+                        for kk in range(i - j):
+                            conv(
+                                f"{o}/fuse/down_{j}_{i}_{kk}",
+                                f"{base}.fuse_layers.{i}.{j}.{kk}.0",
+                            )
+                            bn(
+                                f"{o}/fuse/down_bn_{j}_{i}_{kk}",
+                                f"{base}.fuse_layers.{i}.{j}.{kk}.1",
+                            )
+            m += 1
+
+    i = 0
+    while f"incre_modules.{i}.0.conv1.weight" in sd:
+        bottleneck(f"incre{i}", f"incre_modules.{i}.0")
+        i += 1
+    i = 0
+    while f"downsamp_modules.{i}.0.weight" in sd:
+        conv(f"down{i + 1}", f"downsamp_modules.{i}.0", bias=True)
+        bn(f"down_bn{i + 1}", f"downsamp_modules.{i}.1")
+        i += 1
+    conv("final_conv", "proj_modules.0", bias=True)
+    bn("final_bn", "proj_modules.1")
+    return flat, stats

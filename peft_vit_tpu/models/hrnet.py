@@ -28,13 +28,13 @@ from flax import linen as nn
 Dtype = Any
 
 
-def _conv(ch, k, s, name, dtype, groups=1):
+def _conv(ch, k, s, name, dtype, groups=1, use_bias=False):
     return nn.Conv(
         ch,
         (k, k),
         strides=(s, s),
         padding=[(k // 2, k // 2)] * 2,
-        use_bias=False,
+        use_bias=use_bias,
         feature_group_count=groups,
         name=name,
         dtype=dtype,
@@ -238,11 +238,18 @@ class HRNet(nn.Module):
             z = BottleneckBlock(
                 incre[i], name=f"incre{i}", dtype=self.dtype
             )(branches[i], train)
-            y = _conv(incre[i], 3, 2, f"down{i}", self.dtype)(y)
+            # the head's downsampling convs carry a bias — unlike every
+            # other HRNet conv (cls_hrnet.py:379-386 uses the nn.Conv2d
+            # default); pinned by refexec_hrnet.npz
+            y = _conv(
+                incre[i], 3, 2, f"down{i}", self.dtype, use_bias=True
+            )(y)
             y = nn.relu(
                 _BN(self.dtype, name=f"down_bn{i}")(y, train)
             )
             y = y + z
-        y = _conv(2048, 1, 1, "final_conv", self.dtype)(y)
+        y = _conv(
+            2048, 1, 1, "final_conv", self.dtype, use_bias=True
+        )(y)  # proj conv has a bias too (cls_hrnet.py:395-403)
         y = nn.relu(_BN(self.dtype, name="final_bn")(y, train))
         return y.mean(axis=(1, 2))

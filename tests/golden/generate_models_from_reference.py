@@ -271,6 +271,10 @@ if __name__ == "__main__":
     gen_resnet()
     gen_swin()
     gen_vit_conv()
+    gen_clip_rn()
+    gen_transformer_probe()
+    gen_hrnet()
+    gen_ssl_swin()
 
 
 def gen_rexnet(seed=51, wm=0.5, dm=0.5, image=64, classes=5):
@@ -419,3 +423,206 @@ def gen_vit_conv(seed=54, image=32, patch=8, embed=32, depth=2, heads=2,
     _save_sd(out, m)
     np.savez(os.path.join(HERE, "refexec_vit_conv.npz"), **out)
     print("refexec_vit_conv:", logits.shape, float(logits.abs().mean()))
+
+
+def _load_few_shot_eval(fname):
+    """Package-context loader for few_shot evaluation files with
+    relative .feature/..optim/..evaluation.metric imports."""
+    _install_stubs()
+    for name, attrs in (
+        ("_refpkg", {}),
+        ("_refpkg.evaluation", {}),
+        ("_refpkg.evaluation.feature",
+         {"FeatureData": object, "get_model": lambda *a, **k: None}),
+        ("_refpkg.evaluation.metric",
+         {"get_metric": lambda *a, **k: None}),
+        ("_refpkg.optim", {"build_optimizer": lambda *a, **k: None}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    name = "_refpkg.evaluation." + fname[:-3]
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(FEW, fname)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def gen_clip_rn(seed=55, image=32, width=8, embed=16):
+    """adapter_model.py ModifiedResNet executed whole (:96-160 in
+    model.py, identical class in adapter_model.py which loads without
+    the _add_docstr clash): 3-conv anti-aliased stem, avgpool-in-block
+    bottlenecks, AttentionPool2d with the prepended mean token."""
+    ref = _load_plain("_ref_adapter_model_rn",
+                      os.path.join(FEW, "adapter_model.py"))
+    m = ref.ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=embed,
+        heads=width * 32 // 64, input_resolution=image, width=width,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        out_feats = m(x)
+    out = {
+        "x": x.numpy(),
+        "out": out_feats.numpy(),
+        "width": np.asarray(width),
+        "embed": np.asarray(embed),
+        "image": np.asarray(image),
+    }
+    for k, v in m.state_dict().items():
+        out["sd__visual__" + k.replace(".", "__")] = v.detach().numpy()
+    np.savez(os.path.join(HERE, "refexec_clip_rn.npz"), **out)
+    print("refexec_clip_rn:", out_feats.shape,
+          float(out_feats.abs().mean()))
+
+
+def gen_transformer_probe(seed=56, image=32, patch=8, embed=32, depth=2,
+                          heads=2, classes=5):
+    """transformer_classifier.py executed: the timm ViT with depth+1
+    blocks — the appended 13th block is the only trainable part
+    (:338-347, filter 'blocks.12' :563) but forward-wise it's an extra
+    plain block; pins our spec.extra_block forward."""
+    ref = _load_few_shot_eval("transformer_classifier.py")
+    m = ref.VisionTransformer(
+        img_size=image, patch_size=patch, num_classes=classes,
+        embed_dim=embed, depth=depth, num_heads=heads, qkv_bias=True,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        feats = m.forward_features(x)
+        logits = m(x)
+    if isinstance(feats, tuple):
+        feats = feats[0]
+    out = {
+        "x": x.numpy(),
+        "feats": feats.numpy(),
+        "logits": logits.numpy(),
+        "heads": np.asarray(heads),
+        "depth": np.asarray(depth),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_transformer_probe.npz"), **out)
+    print("refexec_transformer_probe:", logits.shape,
+          float(logits.abs().mean()))
+
+
+class _AttrDict(dict):
+    """dict with attribute access — cls_hrnet reads its spec both ways
+    (stages_spec.NUM_MODULES and stages_spec['BLOCK'])."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def gen_hrnet(seed=57, image=64, w=8, classes=5):
+    """cls_hrnet.py HighResolutionNet executed whole at W8 geometry with
+    3 stages (branches 2/3/4): stem, 4-bottleneck layer1, transitions,
+    basic-block branches, the multi-resolution fuse layers (1x1+BN+
+    nearest-up and stride-2 chains), and the incre/downsamp/proj head
+    (whose convs, uniquely, carry biases)."""
+    lib_dir = os.path.dirname(FULL)
+    sys.path.insert(0, lib_dir)
+    try:
+        ref = _load_plain("_ref_cls_hrnet",
+                          os.path.join(FULL, "cls_hrnet.py"))
+    finally:
+        sys.path.remove(lib_dir)
+    spec = _AttrDict(
+        WITH_SE=False,
+        STAGES=_AttrDict(
+            NUM_STAGES=3,
+            NUM_MODULES=[1, 1, 1],
+            NUM_BRANCHES=[2, 3, 4],
+            NUM_BLOCKS=[[4, 4], [4, 4, 4], [4, 4, 4, 4]],
+            NUM_CHANNELS=[[w, 2 * w], [w, 2 * w, 4 * w],
+                          [w, 2 * w, 4 * w, 8 * w]],
+            BLOCK=["BASIC", "BASIC", "BASIC"],
+            FUSE_METHOD=["SUM", "SUM", "SUM"],
+        ),
+        HEAD=_AttrDict(
+            BLOCK=["BOTTLENECK"] * 4,
+            NUM_CHANNELS=[32, 64, 128, 256],
+            NUM_CHANNELS_PROJ=2048,
+        ),
+    )
+    cfg = _AttrDict(
+        MODEL=_AttrDict(SPEC=spec, NUM_CLASSES=classes)
+    )
+    m = ref.HighResolutionNet(cfg).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        logits = m(x)
+    out = {
+        "x": x.numpy(),
+        "logits": logits.numpy(),
+        "w": np.asarray(w),
+    }
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_hrnet.npz"), **out)
+    print("refexec_hrnet:", logits.shape, float(logits.abs().mean()))
+
+
+def gen_ssl_swin(seed=58, image=32, patch=4, embed=16, depths=(2, 2),
+                 heads=(2, 4), window=4, n_last=3):
+    """ssl_swin.py SwinTransformer executed (the MoBY backbone,
+    :574-956): ape on, plain forward (avg-pooled features) AND the SSL
+    linear-eval protocol forward_return_n_last_blocks(n=3) where only
+    last-stage blocks receive the final norm (:803-805)."""
+    _install_stubs()
+    if "_reffs" not in sys.modules:
+        pkg = types.ModuleType("_reffs")
+        pkg.__path__ = []
+        reg = types.ModuleType("_reffs.registry")
+        reg.register_model = lambda fn=None, **kw: (
+            fn if fn is not None else (lambda f: f)
+        )
+        sys.modules["_reffs"] = pkg
+        sys.modules["_reffs.registry"] = reg
+    spec = importlib.util.spec_from_file_location(
+        "_reffs.ssl_swin", os.path.join(FULL, "ssl_swin.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_reffs.ssl_swin"] = mod
+    spec.loader.exec_module(mod)
+    m = mod.SwinTransformer(
+        img_size=image, patch_size=patch, num_classes=5,
+        embed_dim=embed, depths=list(depths), num_heads=list(heads),
+        window_size=window, drop_path_rate=0.0, ape=True,
+    ).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        feats = m.forward_features(x) if hasattr(
+            m, "forward_features") else None
+        nlast = m.forward_return_n_last_blocks(
+            x, n=n_last, depth=list(depths)
+        )
+    out = {
+        "x": x.numpy(),
+        "nlast": nlast.numpy(),
+        "heads": np.asarray(list(heads)),
+        "depths": np.asarray(list(depths)),
+        "window": np.asarray(window),
+        "n_last": np.asarray(n_last),
+    }
+    if feats is not None:
+        out["feats"] = feats.numpy()
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_ssl_swin.npz"), **out)
+    print("refexec_ssl_swin:", nlast.shape, float(nlast.abs().mean()))

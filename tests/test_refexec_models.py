@@ -535,3 +535,144 @@ class TestVitConvRefexec:
         np.testing.assert_allclose(
             logits, g["logits"], rtol=1e-4, atol=1e-5
         )
+
+
+class TestClipRnRefexec:
+    def test_clip_rn_end_to_end(self):
+        """ModifiedResNet executed from adapter_model.py (identical to
+        model.py:96-160): anti-aliased bottlenecks + AttentionPool2d,
+        via clip_rn_state_dict_to_tree (params + BN running stats)."""
+        from peft_vit_tpu.models.clip_resnet import ModifiedResNet
+        from peft_vit_tpu.models.convert import clip_rn_state_dict_to_tree
+
+        g = np.load(os.path.join(GOLDEN, "refexec_clip_rn.npz"))
+        sd = _sd(g)
+        flat, stats = clip_rn_state_dict_to_tree(sd)
+        m = ModifiedResNet(
+            layers=(1, 1, 1, 1),
+            output_dim=int(g["embed"]),
+            image_size=int(g["image"]),
+            width=int(g["width"]),
+        )
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        strip = lambda d: {k[len("visual/"):]: v for k, v in d.items()}
+        params, missing = graft(dict(variables["params"]), strip(flat))
+        assert not missing
+        bstats, _ = graft(dict(variables["batch_stats"]), strip(stats))
+        out = m.apply(
+            {"params": params, "batch_stats": bstats}, x, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), g["out"], rtol=2e-4, atol=1e-4
+        )
+
+
+class TestTransformerProbeRefexec:
+    def test_extra_block_forward(self):
+        """transformer_classifier.py executed: depth+1 blocks — the
+        reference's 13th (appended, trainable-only) block is forward-wise
+        one more plain block; pins spec.extra_block."""
+        from peft_vit_tpu.peft import PEFTSpec
+
+        g = np.load(os.path.join(GOLDEN, "refexec_transformer_probe.npz"))
+        sd = _sd(g)
+        width = sd["cls_token"].shape[-1]
+        depth = int(g["depth"])
+        patch = sd["patch_embed.proj.weight"].shape[-1]
+        image = patch * int(np.sqrt(sd["pos_embed"].shape[1] - 1))
+        model = VisionTransformer(
+            image_size=image,
+            patch_size=patch,
+            width=width,
+            layers=depth,
+            heads=int(g["heads"]),
+            style="timm",
+            spec=PEFTSpec(method="transformer_probe", extra_block=True),
+            use_flash=False,
+        )
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        params, missing = graft(params, timm_vit_state_dict_to_tree(sd))
+        assert not missing
+        feats = model.apply({"params": params}, x, True)
+        np.testing.assert_allclose(
+            np.asarray(feats), g["feats"], rtol=1e-4, atol=1e-5
+        )
+
+
+class TestHrnetRefexec:
+    def test_hrnet_end_to_end(self):
+        """cls_hrnet.py executed whole at W8 / 3 stages: stem, bottleneck
+        layer1, transitions, basic-block branches, the multi-resolution
+        fuse layers, and the incre/downsamp/proj head (bias-carrying
+        convs); via hrnet_state_dict_to_tree (params + BN stats)."""
+        from flax import traverse_util
+
+        from peft_vit_tpu.models.convert import hrnet_state_dict_to_tree
+        from peft_vit_tpu.models.hrnet import HRNet
+
+        g = np.load(os.path.join(GOLDEN, "refexec_hrnet.npz"))
+        sd = _sd(g)
+        flat, fstats = hrnet_state_dict_to_tree(sd)
+        model = HRNet(width=int(g["w"]), stage_modules=(1, 1, 1))
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        params, missing = graft(variables["params"], flat)
+        assert not missing, missing[:6]
+        sflat = traverse_util.flatten_dict(
+            variables["batch_stats"], sep="/"
+        )
+        assert set(sflat) == set(fstats), sorted(
+            set(sflat) ^ set(fstats)
+        )[:6]
+        feats = model.apply(
+            {
+                "params": params,
+                "batch_stats": traverse_util.unflatten_dict(
+                    fstats, sep="/"
+                ),
+            },
+            x,
+            True,
+        )
+        logits = (
+            np.asarray(feats) @ sd["classifier.weight"].T
+            + sd["classifier.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=2e-4, atol=1e-4
+        )
+
+
+class TestSslSwinRefexec:
+    def test_ssl_swin_n_last_blocks(self):
+        """ssl_swin.py executed: ape embedding plus the SSL linear-eval
+        features — concatenated avg-pooled outputs of the last n blocks,
+        final norm applied only to last-stage blocks (:775-814)."""
+        from peft_vit_tpu.models.convert import swin_state_dict_to_tree
+        from peft_vit_tpu.models.swin import SwinTransformer
+
+        g = np.load(os.path.join(GOLDEN, "refexec_ssl_swin.npz"))
+        sd = _sd(g)
+        embed = sd["patch_embed.proj.weight"].shape[0]
+        model = SwinTransformer(
+            image_size=32,
+            patch_size=sd["patch_embed.proj.weight"].shape[-1],
+            embed_dim=embed,
+            depths=tuple(int(d) for d in g["depths"]),
+            num_heads=tuple(int(h) for h in g["heads"]),
+            window_size=int(g["window"]),
+            ape=True,
+            use_flash=False,
+        )
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        params, missing = graft(params, swin_state_dict_to_tree(sd))
+        assert not missing
+        nlast = model.apply(
+            {"params": params}, x, True, n_last_blocks=int(g["n_last"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(nlast), g["nlast"], rtol=1e-4, atol=1e-5
+        )
