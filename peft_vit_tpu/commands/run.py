@@ -55,15 +55,20 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     num_classes = splits.num_classes
     criterion = bce_per_example if splits.multilabel else ce_per_example
 
-    model, variables, encode_text = build_image_classifier(
-        cfg, spec, num_classes
-    )
-    params = variables["params"]
-
     contrastive = spec.method in (
         "finetune_contrast",
         "linear_probe_contrast",
     )
+    # the reference's Classifier carries channel_bn =
+    # BatchNorm1d(affine=False) in every few-shot driver
+    # (full_model_finetune.py:98-101); the contrastive Classifier does
+    # not (linear_classifier_contrast.py:62-98 has no BatchNorm)
+    use_bn = bool(cfg.TRAIN.CHANNEL_BN) and not contrastive
+    model, variables, encode_text = build_image_classifier(
+        cfg, spec, num_classes, use_bn=use_bn
+    )
+    params = variables["params"]
+
     if contrastive:
         # swap the linear head for the frozen class-text feature bank +
         # fresh logit_scale (linear_classifier_contrast.py Classifier)
@@ -95,11 +100,14 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
         if "visual_proj" in aux:
             # MERGE_ENCODER_AND_HEAD_PROJ: head kernel = proj @ text^T
             text_feats = text_feats @ np.asarray(aux["visual_proj"]).T
-        scale = (
-            np.exp(2.659)  # CLIP's trained logit_scale default
-            if bool(cfg.TRAIN.INIT_HEAD_WITH_LOGIT_SCALE)
-            else 1.0
-        )
+        scale = 1.0
+        if bool(cfg.TRAIN.INIT_HEAD_WITH_LOGIT_SCALE):
+            # the reference multiplies the head by the CHECKPOINT's
+            # trained backbone.logit_scale.exp()
+            # (full_model_finetune.py:133-134); 2.659 = ln(100) is
+            # CLIP's converged value, used only when the checkpoint
+            # carries none
+            scale = float(np.exp(aux.get("logit_scale", 2.659)))
         params = init_head_from_text(params, text_feats, scale)
         logger.info("=> head initialized from text encoder")
 
@@ -166,7 +174,9 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
         }
         return traverse_util.unflatten_dict(out, sep="/")
 
-    apply_fn = lambda v, x, train: model.apply(v, x, train)
+    # **kw forwards mutable=["batch_stats"] when the model carries BN
+    # state (channel_bn head and/or live-BN towers)
+    apply_fn = lambda v, x, train, **kw: model.apply(v, x, train, **kw)
 
     # cached-backbone sweep: precompute frozen activations through the
     # deepest all-frozen prefix and train only the suffix (engine/cached.py)
@@ -184,6 +194,7 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     engine = SweepEngine(
         cfg, apply_fn, init_trainable, frozen, criterion,
         metric=metric_name,
+        bn_template=variables.get("batch_stats"),
     )
 
     batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU)
@@ -223,7 +234,7 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     )
 
     logits = engine._eval_one(
-        state.trainable, frozen, final_task.x_val
+        state.trainable, frozen, final_task.x_val, state.bn
     )
     score = engine._score_one(
         logits, final_task.y_val, final_task.valid_val

@@ -231,6 +231,11 @@ _C["DATASET"] = CN(
         "RANDOM_SEED_SAMPLING": 0,
         "MERGE_TRAIN_VAL_FINAL_RUN": True,
         "TARGET_SIZE": -1,
+        # Azure vision-datasets hub fetch (feature.py:540-551) — opt-in
+        # because this rig is zero-egress; data/hub.py resolves the
+        # shipped vision_datasets.json and downloads the split's index +
+        # zip blobs into DATASET.ROOT
+        "DOWNLOAD": False,
     },
     new_allowed=True,
 )
@@ -295,6 +300,13 @@ _C["TRAIN"] = CN(
         "INIT_HEAD_WITH_LOGIT_SCALE": False,
         "MERGE_ENCODER_AND_HEAD_PROJ": False,
         "NORMALIZE_VISUAL_FEATURE": False,
+        # channel_bn = BatchNorm1d(affine=False) on the pooled feature —
+        # present in EVERY reference few-shot Classifier (linear probe,
+        # full fine-tune and all PEFT drivers, full_model_finetune.py:
+        # 98-101 / adapter_tuning_clip.py:124-130); consumed by the
+        # few-shot driver (commands/run.py) only — the full_shot finetune
+        # tools carry a bare Linear head (tools/finetune_lora.py:173)
+        "CHANNEL_BN": True,
         "SEARCH_RESULT_ON_LAST_EPOCH": False,
         "OPTIMIZER": "sgd",
         "OPTIMIZER_ARGS": CN(new_allowed=True),

@@ -165,6 +165,71 @@ def load_coco_split(
     return x, y, class_names
 
 
+def load_txt_split(
+    root: str,
+    entry: dict,
+    split: str,
+    image_size: int,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Iris txt-format usage (30 of the 46 hub registry entries, e.g.
+    cifar-10's ``train.txt``): each index line is
+    ``<image_path> <label[,label...]>`` where the image path may be
+    ``archive.zip@member``; class names come from the entry-level
+    ``labelmap`` file (one name per line) when present."""
+    usage = entry.get(_USAGE_KEYS[split])
+    if usage is None:
+        raise KeyError(
+            f"dataset {entry.get('name')!r} has no {split!r} usage"
+        )
+    base_dir = os.path.join(root or "", entry.get("root_folder", ""))
+    multilabel = str(entry.get("type", "")).endswith("multilabel")
+
+    rows: List[Tuple[str, List[int]]] = []
+    with open(os.path.join(base_dir, usage["index_path"])) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) < 2:
+                raise ValueError(
+                    f"iris index line without a label: {line!r}"
+                )
+            labels = [int(t) for t in parts[-1].split(",") if t != ""]
+            rows.append((" ".join(parts[:-1]), labels))
+
+    class_names: List[str] = []
+    lm = entry.get("labelmap")
+    if lm and os.path.exists(os.path.join(base_dir, lm)):
+        with open(os.path.join(base_dir, lm)) as f:
+            class_names = [ln.strip() for ln in f if ln.strip()]
+    num_classes = len(class_names) or (
+        1 + max((max(ls) for _, ls in rows if ls), default=-1)
+    )
+    if not class_names:
+        class_names = [f"class {i}" for i in range(num_classes)]
+
+    zips = _ZipCache()
+    xs, ys = [], []
+    try:
+        for file_name, labels in rows:
+            raw = _read_image_bytes(file_name, base_dir, zips)
+            xs.append(_decode(raw, image_size))
+            ys.append(labels)
+    finally:
+        zips.close()
+
+    x = np.stack(xs) if xs else np.zeros(
+        (0, image_size, image_size, 3), np.uint8
+    )
+    if multilabel:
+        y = np.zeros((len(ys), num_classes), np.int64)
+        for i, ids in enumerate(ys):
+            y[i, ids] = 1
+    else:
+        y = np.asarray([ids[0] for ids in ys], np.int64).reshape(len(ys))
+    return x, y, class_names
+
+
 def load_elevater_split(
     cfg, split: str
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -181,7 +246,13 @@ def load_elevater_split(
         # reference derives val from train upstream (feature.py:87-148)
         return None
     size = int(cfg.TRAIN.IMAGE_SIZE[0])
-    x, y, class_names = load_coco_split(root, entry, split, size)
+    usage = entry.get(_USAGE_KEYS[split]) or {}
+    if str(usage.get("index_path", "")).endswith(".txt"):
+        # iris txt format (format key absent in the hub registry for
+        # these entries; coco entries carry format='coco')
+        x, y, class_names = load_txt_split(root, entry, split, size)
+    else:
+        x, y, class_names = load_coco_split(root, entry, split, size)
     logger.info(
         "=> ELEVATER manifest %s/%s: %d images, %d classes",
         cfg.DATASET.DATASET,

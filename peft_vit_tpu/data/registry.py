@@ -263,6 +263,27 @@ def load_split(cfg, split: str) -> Tuple[np.ndarray, np.ndarray]:
             [os.path.join(root, p) for p in tsv_list], size, num_classes
         )
 
+    # Azure hub (DATASET.DOWNLOAD, feature.py:540-551): resolve the
+    # dataset in the shipped vision_datasets.json and fetch the split's
+    # index + zips into DATASET.ROOT before the manifest reader runs.
+    # Opt-in — this container is zero-egress, so the default path never
+    # touches the wire (data/hub.py raises with provisioning
+    # instructions instead of half-downloading).
+    if bool(cfg.DATASET.get("DOWNLOAD", False)):
+        import shutil
+
+        from .hub import ensure_dataset, packaged_registry_path
+
+        base = root or "."
+        reg_local = os.path.join(base, "vision_datasets.json")
+        if not os.path.exists(reg_local):
+            os.makedirs(base, exist_ok=True)
+            shutil.copy(packaged_registry_path(), reg_local)
+        try:
+            ensure_dataset(name, base, splits=(split,), download=True)
+        except KeyError:
+            pass  # not a hub dataset: fall through to local sources
+
     # ELEVATER / vision-datasets manifest layout under DATASET.ROOT
     # (coco-style index json + zip-packed images; feature.py:549-577)
     from .elevater import load_elevater_split

@@ -82,8 +82,10 @@ def precompute_prefix_tokens(
 def make_suffix_apply(model, cut: int):
     """apply_fn over token inputs resuming at block `cut`."""
 
-    def apply_fn(variables, tokens, train):
-        return model.apply(variables, tokens, train, start_layer=cut)
+    def apply_fn(variables, tokens, train, **kw):
+        # **kw forwards mutable=["batch_stats"]: the channel_bn head
+        # lives in the trained suffix, so BN state threads through here
+        return model.apply(variables, tokens, train, start_layer=cut, **kw)
 
     return apply_fn
 

@@ -69,6 +69,7 @@ class SweepEngine:
         criterion: PerExampleCriterion,
         batch_size: Optional[int] = None,
         metric: str = "accuracy",
+        bn_template=None,
     ):
         self.cfg = cfg
         # the dataset metric scores every cell, mirroring the reference's
@@ -83,6 +84,12 @@ class SweepEngine:
         self.init_trainable = init_trainable
         self.frozen = frozen
         self.criterion = criterion
+        # TRAIN.CHANNEL_BN head standardizer and/or live-BN towers: every
+        # cell starts from a fresh copy of this batch_stats template (the
+        # reference builds a fresh Classifier per cell,
+        # adapter_tuning_clip.py:231) and trains with mutable stats
+        self.bn_template = bn_template
+        has_bn = bn_template is not None
         self.batch_size = batch_size or int(cfg.TRAIN.BATCH_SIZE_PER_GPU)
         self.schedule = tuple(int(m) for m in cfg.TRAIN.SCHEDULE)
 
@@ -121,16 +128,19 @@ class SweepEngine:
             momentum=float(cfg.TRAIN.MOMENTUM),
             nesterov=bool(cfg.TRAIN.NESTEROV),
             lr_scale=lr_scale,
+            has_bn=has_bn,
         )
-        eval_fn = make_eval_fn(apply_fn, self.batch_size)
-        # vmap over cells: state/lr/wd are per-cell, data+frozen shared.
+        eval_fn = make_eval_fn(apply_fn, self.batch_size, has_bn=has_bn)
+        # vmap over cells: state/lr/wd are per-cell, data+frozen shared
+        # (state.bn rides axis 0 of the state; a None bn is an empty
+        # subtree and vmaps trivially).
         self._epoch_cells = jax.jit(
             jax.vmap(
                 epoch_fn, in_axes=(0, None, None, None, None, None, 0, 0)
             )
         )
         self._eval_cells = jax.jit(
-            jax.vmap(eval_fn, in_axes=(0, None, None))
+            jax.vmap(eval_fn, in_axes=(0, None, None, 0))
         )
         self._epoch_one = jax.jit(epoch_fn)
         self._eval_one = jax.jit(eval_fn)
@@ -188,7 +198,8 @@ class SweepEngine:
         assert k == len(wds)
         rngs = jax.random.split(jax.random.PRNGKey(seed), k)
         trainables = self._init_cells(rngs)
-        states = jax.vmap(init_cell_state)(trainables)
+        bn = self.bn_template
+        states = jax.vmap(lambda t: init_cell_state(t, bn))(trainables)
 
         n = task.x_train.shape[0]
         lrs_arr = jnp.asarray(lrs, jnp.float32)
@@ -212,7 +223,7 @@ class SweepEngine:
                 wds_arr,
             )
             logits = self._eval_cells(
-                states.trainable, self.frozen, task.x_val
+                states.trainable, self.frozen, task.x_val, states.bn
             )
             # _score_cells gathers to host, which is also the required
             # dispatch-queue sync: without it, some PJRT backends (the axon
@@ -238,7 +249,7 @@ class SweepEngine:
     ) -> Tuple[TrainCellState, float]:
         """Single-cell training; returns (state, best val acc)."""
         trainable = self._init_one(jax.random.PRNGKey(seed))
-        state = init_cell_state(trainable)
+        state = init_cell_state(trainable, self.bn_template)
         best = 0.0
         best_state = state
         n = task.x_train.shape[0]
@@ -257,7 +268,7 @@ class SweepEngine:
                 jnp.asarray(wd, jnp.float32),
             )
             logits = self._eval_one(
-                state.trainable, self.frozen, task.x_val
+                state.trainable, self.frozen, task.x_val, state.bn
             )
             # host fetch inside _score_one doubles as the dispatch-queue sync
             acc = self._score_one(logits, task.y_val, task.valid_val)

@@ -61,19 +61,24 @@ class SgdState(NamedTuple):
 
 
 class TrainCellState(NamedTuple):
-    """State for one sweep cell (trainable subtree + SGD momentum)."""
+    """State for one sweep cell (trainable subtree + SGD momentum + the
+    head channel-BN running statistics when TRAIN.CHANNEL_BN is on —
+    the reference's ``channel_bn`` lives on the Classifier and so gets a
+    fresh copy per sweep cell, adapter_tuning_clip.py:124-130,231)."""
 
     trainable: Any
     opt: SgdState
     step: jax.Array
+    bn: Any = None  # batch_stats collection (or None)
 
 
-def init_cell_state(trainable) -> TrainCellState:
+def init_cell_state(trainable, bn=None) -> TrainCellState:
     zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
     return TrainCellState(
         trainable=trainable,
         opt=SgdState(zeros),
         step=jnp.zeros((), jnp.int32),
+        bn=bn,
     )
 
 
@@ -116,7 +121,9 @@ def sgd_update(
             buf_new,
             lr_scale,
         )
-    return TrainCellState(p_new, SgdState(buf_new), state.step + 1)
+    return state._replace(
+        trainable=p_new, opt=SgdState(buf_new), step=state.step + 1
+    )
 
 
 def step_decay_lr(base_lr, epoch, schedule):
@@ -134,21 +141,39 @@ def make_epoch_fn(
     momentum: float = 0.9,
     nesterov: bool = True,
     lr_scale=None,
+    has_bn: bool = False,
 ):
     """One training epoch over device-resident arrays as a lax.scan.
 
     x: (n, ...) with n a multiple of batch_size (see pad_dataset); `valid`
     masks padded rows out of the loss.
+
+    With ``has_bn`` the model carries a mutable ``batch_stats`` collection
+    (the head channel_bn and/or live-BN towers): ``apply_fn`` must then
+    accept ``mutable=`` and the step threads ``state.bn`` through each
+    batch exactly like torch's train-mode BN (normalize with batch stats,
+    blend running stats in place).
     """
 
-    def weighted_loss(trainable, frozen, bx, by, bv):
+    def weighted_loss(trainable, frozen, bn, bx, by, bv):
         params = merge_params(trainable, frozen)
-        logits = apply_fn({"params": params}, bx, True)
+        if has_bn:
+            logits, upd = apply_fn(
+                {"params": params, "batch_stats": bn},
+                bx,
+                True,
+                mutable=["batch_stats"],
+            )
+            new_bn = upd["batch_stats"]
+        else:
+            logits = apply_fn({"params": params}, bx, True)
+            new_bn = bn
         per = criterion(logits.astype(jnp.float32), by)
         w = bv.astype(jnp.float32)
-        return jnp.sum(per * w) / jnp.clip(jnp.sum(w), 1.0)
+        loss = jnp.sum(per * w) / jnp.clip(jnp.sum(w), 1.0)
+        return loss, new_bn
 
-    grad_fn = jax.value_and_grad(weighted_loss)
+    grad_fn = jax.value_and_grad(weighted_loss, has_aux=True)
 
     def epoch_fn(state: TrainCellState, frozen, x, y, valid, perm, lr, wd):
         nb = x.shape[0] // batch_size
@@ -158,11 +183,13 @@ def make_epoch_fn(
             bx = jnp.take(x, idx, axis=0)
             by = jnp.take(y, idx, axis=0)
             bv = jnp.take(valid, idx, axis=0)
-            loss, grads = grad_fn(st.trainable, frozen, bx, by, bv)
+            (loss, new_bn), grads = grad_fn(
+                st.trainable, frozen, st.bn, bx, by, bv
+            )
             st = sgd_update(
                 grads, st, lr, wd, momentum, nesterov, lr_scale
             )
-            return st, loss
+            return st._replace(bn=new_bn), loss
 
         state, losses = jax.lax.scan(body, state, idxs)
         return state, jnp.mean(losses)
@@ -170,15 +197,21 @@ def make_epoch_fn(
     return epoch_fn
 
 
-def make_eval_fn(apply_fn, batch_size: int):
-    """Batched inference over a device-resident array: returns logits."""
+def make_eval_fn(apply_fn, batch_size: int, has_bn: bool = False):
+    """Batched inference over a device-resident array: returns logits.
 
-    def eval_fn(trainable, frozen, x):
+    With ``has_bn`` the eval runs on RUNNING statistics (torch
+    ``model.eval()`` semantics — the sweep's per-epoch ``validate``)."""
+
+    def eval_fn(trainable, frozen, x, bn=None):
         params = merge_params(trainable, frozen)
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = bn
         nb = x.shape[0] // batch_size
 
         def body(_, bx):
-            return None, apply_fn({"params": params}, bx, False)
+            return None, apply_fn(variables, bx, False)
 
         _, logits = jax.lax.scan(
             body, None, x.reshape(nb, batch_size, *x.shape[1:])
@@ -201,13 +234,19 @@ class ArrayTask(NamedTuple):
 
 
 def pad_dataset(x: np.ndarray, y: np.ndarray, batch: int):
-    """Pad (x, y) to a multiple of `batch`; returns (x, y, valid)."""
+    """Pad (x, y) to a multiple of `batch`; returns (x, y, valid).
+
+    Pad rows CYCLE the dataset (row i % n) rather than repeating row 0:
+    the loss masks them out either way, but with TRAIN.CHANNEL_BN the
+    train-mode batch statistics see every row in the batch, and cycled
+    padding keeps those statistics distributed like the data (the
+    reference's last partial batch computes BN stats on real rows only)."""
     n = x.shape[0]
     m = max(1, -(-n // batch)) * batch
     if m == n:
         return x, y, np.ones(n, bool)
     reps = np.concatenate(
-        [np.arange(n), np.zeros(m - n, np.int64)]
+        [np.arange(n), np.arange(m - n) % n]
     )
     valid = np.concatenate([np.ones(n, bool), np.zeros(m - n, bool)])
     return x[reps], y[reps], valid

@@ -229,7 +229,15 @@ class Trainer:
         norm_mean, norm_std = self._norm_mean, self._norm_std
         do_flip = bool(cfg.AUG.get("RANDOM_FLIP", True))
 
-        def loss_fn(trainable, frozen, batch_stats, x, y, rng):
+        # DropBlock (AUG.DROPBLOCK_KEEP_PROB < 1, cls_resnet.py:409-419):
+        # the model needs a 'dropblock' PRNG stream and the keep-prob
+        # anneal position = global step / total steps
+        use_dropblock = float(cfg.AUG.get("DROPBLOCK_KEEP_PROB", 1.0)) < 1.0
+        total_steps = max(
+            1, int(cfg.TRAIN.END_EPOCH) * int(self.steps_per_epoch)
+        )
+
+        def loss_fn(trainable, frozen, batch_stats, x, y, rng, step):
             params = merge_params(trainable, frozen)
             if transform is not None:
                 rng, t_rng = jax.random.split(rng)
@@ -262,8 +270,15 @@ class Trainer:
             variables = {"params": params}
             if has_bn:
                 variables["batch_stats"] = batch_stats
+                kw = {}
+                if use_dropblock:
+                    rng, db_rng = jax.random.split(rng)
+                    kw = {
+                        "progress": step.astype(jnp.float32) / total_steps,
+                        "rngs": {"dropblock": db_rng},
+                    }
                 logits, updates = model.apply(
-                    variables, x, True, mutable=["batch_stats"]
+                    variables, x, True, mutable=["batch_stats"], **kw
                 )
                 new_stats = updates["batch_stats"]
             elif pipeline > 1:
@@ -291,7 +306,8 @@ class Trainer:
 
         def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
             (loss, (logits, new_stats)), grads = grad_fn(
-                state.trainable, frozen, state.batch_stats, x, y, rng
+                state.trainable, frozen, state.batch_stats, x, y, rng,
+                state.step,
             )
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.trainable
@@ -661,6 +677,10 @@ class Trainer:
                 {"params": params, "batch_stats": stats},
                 x,
                 True,
+                # unused streams are ignored; DropBlock models need one
+                # for any train-mode forward (torch's update_bn also
+                # runs with train-mode regularizers live)
+                rngs={"dropblock": jax.random.PRNGKey(0)},
                 mutable=["batch_stats"],
             )
             return upd["batch_stats"]

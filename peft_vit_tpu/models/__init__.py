@@ -23,6 +23,8 @@ from .factory import build_image_classifier, init_head_from_text
 from .registry import get_custom_builder, register_model
 from .hrnet import HRNet
 from .resnet import (
+    DyReLU,
+    DyReLUSpec,
     FrozenBatchNorm,
     ResNet,
     SqueezeExcite,
@@ -66,6 +68,8 @@ __all__ = [
     "build_ssl_swin",
     "extract_n_last_blocks",
     "multi_crop_forward",
+    "DyReLU",
+    "DyReLUSpec",
     "bit_resnet50",
     "build_image_classifier",
     "clip_from_config",

@@ -2,14 +2,21 @@
 
 Reference semantics reproduced:
 
-* linear probe head = BatchNorm1d(affine=False) -> Linear
-  (evaluation/linear_classifier.py:38-55).  The BN here is a feature
-  standardizer: batch statistics during training, running statistics at
-  eval, no learnable affine.
-* full fine-tune / PEFT head = Linear on the visual feature, with optional
-  L2 normalization of the feature (full_model_finetune.py:173-195) and
-  head init from text-encoder zero-shot weights (:105-135; done in
-  ``engine.head_init``).
+* EVERY few-shot driver's Classifier routes the pooled feature through
+  ``channel_bn = BatchNorm1d(affine=False)`` before the linear head —
+  the linear probe (evaluation/linear_classifier.py:38-55), the full
+  fine-tune (full_model_finetune.py:98-101) and every PEFT driver
+  (adapter_tuning_clip.py:124-130 and siblings) alike.  The BN is a
+  feature standardizer: batch statistics during training, running
+  statistics at eval, no learnable affine.  Wired through
+  ``TRAIN.CHANNEL_BN`` (default on for the few-shot driver; the
+  full_shot finetune tools carry a bare Linear head,
+  tools/finetune_lora.py:173, so the full-shot trainer leaves it off).
+* forward order is BN -> optional L2 normalize -> Linear
+  (full_model_finetune.py:173-181: ``channel_bn(feature)`` then
+  ``F.normalize`` under NORMALIZE_VISUAL_FEATURE, then ``layers``).
+* head init from text-encoder zero-shot weights (:105-135) is done in
+  ``models.factory.init_head_from_text``.
 """
 
 from __future__ import annotations
@@ -78,13 +85,15 @@ class ClassifierHead(nn.Module):
         self, feats: jax.Array, train: bool = False
     ) -> jax.Array:
         x = feats.astype(self.dtype)
-        if self.normalize_input:
-            x = x / jnp.clip(
-                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
-            )
+        # reference order (full_model_finetune.py:173-181): channel_bn
+        # FIRST, then the optional L2 normalize, then the linear head
         if self.use_bn:
             x = FeatureBatchNorm(name="channel_bn", dtype=self.dtype)(
                 x, use_running_average=not train
+            )
+        if self.normalize_input:
+            x = x / jnp.clip(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
             )
         return nn.Dense(
             self.num_classes,
@@ -152,6 +161,7 @@ class ImageClassifier(nn.Module):
         images: jax.Array,
         train: bool = False,
         start_layer: int = 0,
+        progress=None,
     ) -> jax.Array:
         if start_layer > 0:
             # cached-backbone path: `images` are block-(start_layer-1)
@@ -159,6 +169,11 @@ class ImageClassifier(nn.Module):
             feats = self.backbone(
                 images, not train, False, start_layer
             )
+        elif progress is not None:
+            # DropBlock keep-prob anneal position in [0, 1] — only the
+            # ResNet family accepts it (the full-shot trainer passes it
+            # when AUG.DROPBLOCK_KEEP_PROB < 1)
+            feats = self.backbone(images, not train, progress)
         else:
             feats = self.backbone(images, not train)
         return ClassifierHead(

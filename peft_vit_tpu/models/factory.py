@@ -110,20 +110,58 @@ def _build_hrnet_backbone(cfg, dtype):
 
 def _build_resnet_backbone(cfg, dtype):
     """cls_resnet family (reference lib/models/cls_resnet*.py); variants
-    selected by MODEL.SPEC.VISION keys."""
-    from .resnet import ResNet
+    selected by MODEL.SPEC.VISION keys and MODEL.NAME:
+
+    * ``cls_resnetd`` -> version 'd' (cls_resnetD PreActBottleneck,
+      DY_RELU-capable); ``cls_resnet_d2`` is the detectron2-port of the
+      same post-act topology as 'v1'
+    * ``cls_resnetp`` -> v1 + DIMS_PROJ projection head + WITH_RELU
+    * AUG.DROPBLOCK_* wires DropBlock onto the listed stages
+      (cls_resnet.py:409-419)
+    """
+    from .resnet import DyReLUSpec, ResNet
 
     s = cfg.MODEL.SPEC.VISION
+    name = str(cfg.MODEL.NAME).lower()
+    version = str(s.get("VERSION", "d" if "resnetd" in name else "v1"))
+
+    dy = s.get("DY_RELU", None)
+    dy_spec = None
+    if dy is not None and bool(dy.get("ENABLE", False)):
+        # cls_resnetD.py:20-37 get_dy_relu
+        dy_spec = DyReLUSpec(
+            reduction=int(dy.get("REDUCTION", 4)),
+            lambda_a=float(dy.get("LAMBDA_A", 1.0)),
+            k2=bool(dy.get("K2", True)),
+            use_bias=bool(dy.get("USE_BIAS", True)),
+            init_a=tuple(float(v) for v in dy.get("INIT_A", (1.0, 0.0))),
+            init_b=tuple(float(v) for v in dy.get("INIT_B", (0.0, 0.0))),
+        )
+
+    db_keep = float(cfg.AUG.get("DROPBLOCK_KEEP_PROB", 1.0))
+    db_stages = (
+        tuple(int(i) for i in cfg.AUG.get("DROPBLOCK_LAYERS", (3, 4)))
+        if db_keep < 1.0
+        else ()
+    )
     return ResNet(
         layers=tuple(s.get("LAYERS_PER_STAGE", (3, 4, 6, 3))),
         width=int(s.get("STEM_WIDTH", 64)),
-        version=str(s.get("VERSION", "v1")),
+        version=version,
         cardinality=int(s.get("CARDINALITY", 1)),
         base_width=int(s.get("BASE_WIDTH", 64)),
         se_ratio=float(s.get("SE_RATIO", 0.0)),
         deep_stem=bool(s.get("DEEP_STEM", False)),
+        stem_kernel=int(s.get("KERNEL_SIZE_STEM", 7)),
         avg_down=bool(s.get("AVG_DOWN", False)),
         frozen_bn=bool(s.get("FROZEN_BN", False)),
+        with_relu=bool(s.get("WITH_RELU", True)),
+        proj_dims=tuple(int(d) for d in s.get("DIMS_PROJ", ())),
+        proj_dropout=float(s.get("DROPOUT", 0.0)),
+        dy_relu=dy_spec,
+        dropblock_stages=db_stages,
+        dropblock_keep_prob=db_keep,
+        dropblock_block_size=int(cfg.AUG.get("DROPBLOCK_BLOCK_SIZE", 7)),
         dtype=dtype,
     )
 
@@ -158,13 +196,25 @@ def _dtype(cfg):
 
 
 def build_image_classifier(
-    cfg, spec: PEFTSpec, num_classes: int, rng: Optional[jax.Array] = None
+    cfg,
+    spec: PEFTSpec,
+    num_classes: int,
+    rng: Optional[jax.Array] = None,
+    use_bn: bool = False,
 ) -> Tuple[ImageClassifier, dict, Optional[Callable]]:
     """Returns (model, variables, encode_text_fn or None).
 
     ``variables`` = {'params': ..., possibly 'batch_stats': ...} —
     initialized and, when MODEL.PRETRAINED points at a torch checkpoint,
     grafted with converted weights (PEFT leaves stay fresh).
+
+    ``use_bn`` inserts the reference few-shot Classifier's
+    ``channel_bn = BatchNorm1d(affine=False)`` feature standardizer
+    before the head (every few-shot driver has it,
+    full_model_finetune.py:98-101; the full_shot finetune tools don't,
+    tools/finetune_lora.py:173) — the few-shot driver (commands/run.py)
+    passes ``TRAIN.CHANNEL_BN`` here, the full-shot trainer leaves it
+    off.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -316,6 +366,7 @@ def build_image_classifier(
         model = ImageClassifier(
             backbone=backbone,
             num_classes=num_classes,
+            use_bn=use_bn,
             normalize_visual=bool(cfg.TRAIN.NORMALIZE_VISUAL_FEATURE),
             dtype=dtype,
         )
@@ -328,11 +379,20 @@ def build_image_classifier(
                 for k, v in flat_src.items()
                 if k.startswith("visual/")
             }
+            aux = {}
+            if "logit_scale" in flat_src:
+                # the checkpoint's trained logit_scale, for
+                # INIT_HEAD_WITH_LOGIT_SCALE (the reference multiplies
+                # the head by backbone.logit_scale.exp(),
+                # full_model_finetune.py:133-134)
+                aux["logit_scale"] = float(
+                    np.asarray(flat_src["logit_scale"])
+                )
             if merge_proj:
                 # the module has no proj leaf; keep the matrix for head init
-                variables["aux"] = {
-                    "visual_proj": visual_src.pop("backbone/proj")
-                }
+                aux["visual_proj"] = visual_src.pop("backbone/proj")
+            if aux:
+                variables["aux"] = aux
             if getattr(backbone, "scan_layers", False):
                 from .convert import stack_flat_blocks
 
@@ -464,7 +524,11 @@ def build_image_classifier(
                 dtype=dtype,
             )
         model = ImageClassifier(
-            backbone=backbone, num_classes=num_classes, dtype=dtype
+            backbone=backbone,
+            num_classes=num_classes,
+            use_bn=use_bn,
+            normalize_visual=bool(cfg.TRAIN.NORMALIZE_VISUAL_FEATURE),
+            dtype=dtype,
         )
         x0 = jnp.zeros((1, size, size, 3))
         variables = dict(model.init(rng, x0))

@@ -6,13 +6,26 @@ SE/ResNeXt variants; the MODEL_ZOO baselines are all R50-family —
 BASELINE.md).  One implementation with switches:
 
 * ``version``: 'v1' (post-act, reference cls_resnet) | 'v2' (pre-act,
-  cls_resnet_v2)
+  cls_resnet_v2) | 'd' (cls_resnetD PreActBottleneck: act0 on the block
+  input, downsample fed from act0's output, ``bn3`` applied AFTER the
+  residual add — cls_resnetD.py:95-121)
 * ``deep_stem``: ResNet-D stem (three 3x3 convs; cls_resnetD)
 * ``cardinality/base_width``: ResNeXt grouping
 * ``se_ratio``: squeeze-excitation blocks (lib/layers/se_layer.py)
 * ``frozen_bn``: FrozenBatchNorm2d semantics (lib/layers/batch_norm.py:
   12-148) — BN uses stored statistics, scale/bias foldable, no updates;
   the standard choice for PEFT fine-tuning of CNN backbones.
+* ``with_relu``: cls_resnet.py/cls_resnetP.py Bottleneck's WITH_RELU
+  toggle — skip the post-residual ReLU.
+* ``proj_dims``: cls_resnetP.py's DIMS_PROJ MLP projection between the
+  pooled feature and the classifier head (cls_resnetP.py:202-224).
+* ``dy_relu``: DYReLU2 dynamic activations replacing ReLU in the 'd'
+  blocks/stem (MODEL.SPEC.DY_RELU, cls_resnetD.py:20-37).
+* ``dropblock_stages/keep_prob/block_size``: DropBlock on the listed
+  stages (AUG.DROPBLOCK_*, cls_resnet.py:409-419); the linear keep-prob
+  anneal is driven by the call-time ``progress`` scalar (see
+  ops/dropblock.py for the reference-quirk discussion).  Training with
+  DropBlock active needs a ``dropblock`` PRNG stream in ``apply``.
 
 TPU notes: NHWC layout throughout; BatchNorm in train mode keeps running
 stats in a flax ``batch_stats`` collection; under pjit the batch statistics
@@ -22,13 +35,83 @@ are computed per-shard and synchronized by ``axis_name`` when given
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropblock import drop_block, scheduled_keep_prob, stage_keep_prob
+
 Dtype = Any
+
+
+class DyReLUSpec(NamedTuple):
+    """Static DYReLU2 hyperparameters (MODEL.SPEC.DY_RELU keys,
+    cls_resnetD.py:20-37); a NamedTuple so flax module fields stay
+    hashable."""
+
+    reduction: int = 4
+    lambda_a: float = 1.0
+    k2: bool = True
+    use_bias: bool = True
+    init_a: Tuple[float, float] = (1.0, 0.0)
+    init_b: Tuple[float, float] = (0.0, 0.0)
+
+
+def _make_divisible(v, divisor, min_value=None):
+    # dy_relu.py:8-15
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class DyReLU(nn.Module):
+    """DYReLU2 (lib/layers/dy_relu.py:28-97): a channel-attention MLP
+    picks per-channel piecewise-linear activation coefficients —
+    ``max(x*a1 + b1, x*a2 + b2)`` in the default K2+bias configuration.
+    The coefficient head is avg-pool -> Linear(squeeze) -> ReLU ->
+    Linear(C*exp) -> h_sigmoid (= relu6(y+3)/6)."""
+
+    channels: int
+    spec: DyReLUSpec = DyReLUSpec()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = self.spec
+        exp = (4 if s.use_bias else 2) if s.k2 else (2 if s.use_bias else 1)
+        if s.reduction == 4:
+            squeeze = self.channels // s.reduction
+        else:
+            squeeze = _make_divisible(self.channels // s.reduction, 4)
+        y = x.astype(jnp.float32).mean(axis=(1, 2))
+        y = nn.Dense(squeeze, name="fc1", dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels * exp, name="fc2", dtype=self.dtype)(y)
+        y = nn.relu6(y + 3.0) / 6.0  # h_sigmoid, h_max=1 (dy_relu.py:18-25)
+        y = y[:, None, None, :].astype(x.dtype)
+        lam = s.lambda_a * 2.0  # dy_relu.py:33 ``lambda_a * 2``
+        c = self.channels
+        if exp == 4:
+            a1 = (y[..., :c] - 0.5) * lam + s.init_a[0]
+            b1 = y[..., c : 2 * c] - 0.5 + s.init_b[0]
+            a2 = (y[..., 2 * c : 3 * c] - 0.5) * lam + s.init_a[1]
+            b2 = y[..., 3 * c :] - 0.5 + s.init_b[1]
+            return jnp.maximum(x * a1 + b1, x * a2 + b2)
+        if exp == 2:
+            if s.use_bias:
+                a1 = (y[..., :c] - 0.5) * lam + s.init_a[0]
+                b1 = y[..., c:] - 0.5 + s.init_b[0]
+                return x * a1 + b1
+            a1 = (y[..., :c] - 0.5) * lam + s.init_a[0]
+            a2 = (y[..., c:] - 0.5) * lam + s.init_a[1]
+            return jnp.maximum(x * a1, x * a2)
+        a1 = (y - 0.5) * lam + s.init_a[0]
+        return x * a1
 
 
 class FrozenBatchNorm(nn.Module):
@@ -135,11 +218,22 @@ class Bottleneck(nn.Module):
     norm: str = "bn"  # 'bn' | 'gn' | 'frozen'
     weight_standardization: bool = False
     avg_down: bool = False  # ResNet-D downsampling
+    # cls_resnet.py/cls_resnetP.py WITH_RELU: skip the post-residual ReLU
+    with_relu: bool = True
+    # DYReLU2 replaces ReLU in the 'd' block (cls_resnetD.py:58-86)
+    dy_relu: Optional[DyReLUSpec] = None
+    # DropBlock after each conv (+ on the residual): cls_resnet.py:
+    # 122-143 / cls_resnetD.py:103-119; the scheduled keep prob arrives
+    # per call (db_keep) so the anneal stays inside jit
+    use_dropblock: bool = False
+    dropblock_size: int = 7
     bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, db_keep=None
+    ) -> jax.Array:
         width = int(
             self.out_channels
             / 4
@@ -169,6 +263,69 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
         )
 
+        dropblock_on = self.use_dropblock and train and db_keep is not None
+
+        def db(h):
+            # each application site draws its own mask, like the
+            # reference's repeated dropblock(out) calls (fresh randnoise
+            # per call, dropblock.py:55)
+            if not dropblock_on:
+                return h
+            return drop_block(
+                h,
+                self.make_rng("dropblock"),
+                block_size=self.dropblock_size,
+                keep_prob=db_keep,
+            )
+
+        def act(h, name, channels):
+            if self.dy_relu is not None:
+                return DyReLU(
+                    channels, self.dy_relu, dtype=self.dtype, name=name
+                )(h)
+            return nn.relu(h)
+
+        if self.version == "d":
+            # cls_resnetD.py PreActBottleneck (:95-121): act0 on the
+            # block input, downsample fed from act0's output, dropblock
+            # after every conv and on the residual, SE before the add,
+            # and bn3 applied AFTER the residual sum
+            out = act(x, "act0", x.shape[-1])
+            shortcut = x
+            if needs_proj:
+                s_in = out
+                if self.avg_down and self.stride > 1:
+                    # AvgPool(k=stride, s=stride, ceil_mode,
+                    # count_include_pad=False) + 1x1 conv + BN
+                    # (cls_resnetD.py:240-258)
+                    s_in = nn.avg_pool(
+                        out,
+                        (self.stride, self.stride),
+                        strides=(self.stride, self.stride),
+                        padding="SAME",
+                        count_include_pad=False,
+                    )
+                    shortcut = conv(self.out_channels, 1, 1, "downsample")(
+                        s_in
+                    )
+                else:
+                    shortcut = conv(
+                        self.out_channels, 1, self.stride, "downsample"
+                    )(s_in)
+                shortcut = apply_norm(shortcut, "bn_down")
+            h = db(conv(width, 1, 1, "conv1")(out))
+            h = act(apply_norm(h, "bn1"), "act1", width)
+            h = db(conv(width, 3, self.stride, "conv2", self.cardinality)(h))
+            h = act(apply_norm(h, "bn2"), "act2", width)
+            h = db(conv(self.out_channels, 1, 1, "conv3")(h))
+            if self.se_ratio > 0:
+                h = SqueezeExcite(
+                    self.out_channels, self.se_ratio, dtype=self.dtype,
+                    name="se",
+                )(h)
+            shortcut = db(shortcut)
+            return apply_norm(h + shortcut, "bn3")
+
         if self.version == "v2":
             # pre-activation
             pre = apply_norm(x, "bn_pre")
@@ -191,11 +348,11 @@ class Bottleneck(nn.Module):
             return shortcut + h
 
         h = conv(width, 1, 1, "conv1")(x)
-        h = nn.relu(apply_norm(h, "bn1"))
+        h = db(nn.relu(apply_norm(h, "bn1")))
         h = conv(width, 3, self.stride, "conv2", self.cardinality)(h)
-        h = nn.relu(apply_norm(h, "bn2"))
+        h = db(nn.relu(apply_norm(h, "bn2")))
         h = conv(self.out_channels, 1, 1, "conv3")(h)
-        h = apply_norm(h, "bn3")
+        h = db(apply_norm(h, "bn3"))
         if self.se_ratio > 0:
             h = SqueezeExcite(
                 self.out_channels, self.se_ratio, dtype=self.dtype,
@@ -216,11 +373,14 @@ class Bottleneck(nn.Module):
                     self.out_channels, 1, self.stride, "downsample"
                 )(s_in)
             shortcut = apply_norm(shortcut, "bn_down")
-        return nn.relu(shortcut + h)
+        shortcut = db(shortcut)
+        out = shortcut + h
+        return nn.relu(out) if self.with_relu else out
 
 
 class ResNet(nn.Module):
-    """ResNet-{50,101,152} / ResNeXt / SE / -D / v2, NHWC."""
+    """ResNet-{50,101,152} / ResNeXt / SE / -D / v2 / resnetD('d') /
+    resnetP(proj_dims), NHWC."""
 
     layers: Sequence[int] = (3, 4, 6, 3)  # R50
     width: int = 64
@@ -233,22 +393,96 @@ class ResNet(nn.Module):
     # reduction (SELayer default 1/16)
     se_stages: Optional[Sequence[bool]] = None
     deep_stem: bool = False
+    stem_kernel: int = 7  # cls_resnetD KERNEL_SIZE_STEM (7 or 3)
     avg_down: bool = False
     frozen_bn: bool = False
     norm: str = "bn"  # 'bn' | 'gn' | 'frozen'
     weight_standardization: bool = False
+    with_relu: bool = True  # MODEL.SPEC.WITH_RELU (cls_resnetP.py:185)
+    # cls_resnetP.py DIMS_PROJ: Linear projection chain between the
+    # pooled feature and the head (cls_resnetP.py:202-224); dropout
+    # interleaves when SPEC.DROPOUT > 0
+    proj_dims: Sequence[int] = ()
+    proj_dropout: float = 0.0
+    # MODEL.SPEC.DY_RELU: DYReLU2 replaces ReLU ('d' version only, like
+    # cls_resnetD)
+    dy_relu: Optional[DyReLUSpec] = None
+    # AUG.DROPBLOCK_LAYERS / _KEEP_PROB / _BLOCK_SIZE (cls_resnet.py:
+    # 409-419); stages are 1-indexed
+    dropblock_stages: Sequence[int] = ()
+    dropblock_keep_prob: float = 1.0
+    dropblock_block_size: int = 7
     bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, deterministic: bool = True
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        progress=1.0,
     ) -> jax.Array:
         train = not deterministic
         kind = "frozen" if self.frozen_bn else self.norm
         conv_cls = StdConv if self.weight_standardization else nn.Conv
         x = x.astype(self.dtype)
-        if self.deep_stem:
+
+        def stem_norm(h, name):
+            m = _norm(kind, name, self.dtype, self.bn_axis_name)
+            return m(h) if kind in (True, "frozen") else m(
+                h, use_running_average=not train
+            )
+
+        def stem_act(h, name, channels):
+            if self.version == "d" and self.dy_relu is not None:
+                return DyReLU(
+                    channels, self.dy_relu, dtype=self.dtype, name=name
+                )(h)
+            return nn.relu(h)
+
+        def stem_conv(ch, k, s, name):
+            return conv_cls(
+                ch,
+                (k, k),
+                strides=(s, s),
+                padding=[(k // 2, k // 2)] * 2,
+                use_bias=False,
+                name=name,
+                dtype=self.dtype,
+            )
+
+        if self.version == "d":
+            # cls_resnetD stems (:142-170, forward :263-282): deep =
+            # three 3x3 convs strided 2/1/2, NO maxpool; kernel-3 = two
+            # 3x3 convs strided 2/2.  (The reference's kernel-7 'd'
+            # forward references an undefined bn2 and cannot run —
+            # cls_resnetD.py:273-276; we implement the evident intent:
+            # conv7-bn-act-maxpool.)
+            if self.deep_stem:
+                x = stem_conv(self.width // 2, 3, 2, "stem_conv1")(x)
+                x = stem_act(
+                    stem_norm(x, "stem_bn1"), "stem_act1", self.width // 2
+                )
+                x = stem_conv(self.width, 3, 1, "stem_conv2")(x)
+                x = stem_act(
+                    stem_norm(x, "stem_bn2"), "stem_act2", self.width
+                )
+                x = stem_conv(self.width, 3, 2, "stem_conv3")(x)
+                x = stem_norm(x, "stem_bn3")
+            elif self.stem_kernel == 3:
+                x = stem_conv(self.width, 3, 2, "stem_conv1")(x)
+                x = stem_act(
+                    stem_norm(x, "stem_bn1"), "stem_act1", self.width
+                )
+                x = stem_conv(self.width, 3, 2, "stem_conv2")(x)
+                x = stem_norm(x, "stem_bn2")
+            else:
+                x = stem_conv(self.width, 7, 2, "conv1")(x)
+                x = stem_act(stem_norm(x, "bn1"), "stem_act1", self.width)
+                x = nn.max_pool(
+                    x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+                )
+        elif self.deep_stem:
             for i, ch in enumerate(
                 (self.width // 2, self.width // 2, self.width)
             ):
@@ -284,7 +518,11 @@ class ResNet(nn.Module):
                 x, use_running_average=not train
             )
             x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.version != "d":
+            # the 'd' stems own their downsampling (no trailing maxpool)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
 
         ch = self.width * 4
         for si, depth in enumerate(self.layers):
@@ -292,6 +530,19 @@ class ResNet(nn.Module):
                 self.se_ratio
                 if (self.se_stages is None or self.se_stages[si])
                 else 0.0
+            )
+            # per-stage DropBlock target, linearly annealed by training
+            # progress (cls_resnet.py:409-419 + dropblock.py:29-30)
+            stage_db = (si + 1) in tuple(self.dropblock_stages) and (
+                self.dropblock_keep_prob < 1.0
+            )
+            db_keep = (
+                scheduled_keep_prob(
+                    stage_keep_prob(self.dropblock_keep_prob, si + 1),
+                    progress,
+                )
+                if stage_db
+                else None
             )
             for bi in range(depth):
                 x = Bottleneck(
@@ -305,10 +556,14 @@ class ResNet(nn.Module):
                     norm=self.norm,
                     weight_standardization=self.weight_standardization,
                     avg_down=self.avg_down,
+                    with_relu=self.with_relu,
+                    dy_relu=self.dy_relu if self.version == "d" else None,
+                    use_dropblock=stage_db,
+                    dropblock_size=self.dropblock_block_size,
                     bn_axis_name=self.bn_axis_name,
                     name=f"layer{si + 1}_block{bi}",
                     dtype=self.dtype,
-                )(x, train)
+                )(x, train, db_keep)
             ch *= 2
 
         if self.version == "v2":
@@ -317,7 +572,29 @@ class ResNet(nn.Module):
                 x, use_running_average=not train
             )
             x = nn.relu(x)
-        return x.mean(axis=(1, 2))
+        elif self.version == "d":
+            # cls_resnetD.py:183-185 ``final`` activation — the 'd'
+            # blocks end un-activated (bn3 after the add), so the last
+            # stage output gets one act before pooling
+            if self.dy_relu is not None:
+                x = DyReLU(
+                    x.shape[-1], self.dy_relu, dtype=self.dtype,
+                    name="final_act",
+                )(x)
+            else:
+                x = nn.relu(x)
+        feats = x.mean(axis=(1, 2))
+        # cls_resnetP.py:202-224 projection chain (DIMS_PROJ); dropout
+        # interleaves when SPEC.DROPOUT > 0
+        for pi, dim in enumerate(tuple(self.proj_dims)):
+            if self.proj_dropout > 0:
+                feats = nn.Dropout(self.proj_dropout)(
+                    feats, deterministic=not train
+                )
+            feats = nn.Dense(
+                int(dim), name=f"proj{pi + 1}", dtype=self.dtype
+            )(feats)
+        return feats
 
 
 def resnet50(**kw) -> ResNet:

@@ -269,6 +269,7 @@ if __name__ == "__main__":
     gen_vit_variants()
     gen_rexnet()
     gen_resnet()
+    gen_resnet_d()
     gen_swin()
     gen_vit_conv()
     gen_clip_rn()
@@ -626,3 +627,53 @@ def gen_ssl_swin(seed=58, image=32, patch=4, embed=16, depths=(2, 2),
     _save_sd(out, m)
     np.savez(os.path.join(HERE, "refexec_ssl_swin.npz"), **out)
     print("refexec_ssl_swin:", nlast.shape, float(nlast.abs().mean()))
+
+
+def gen_resnet_d(seed=61, image=32, classes=5):
+    """cls_resnetD.py executed whole: deep stem (3x3 s2/s1/s2, NO
+    maxpool), PreActBottleneck (act0 on the input, downsample from
+    act0's output, bn3 AFTER the residual add), DYReLU2 dynamic
+    activations everywhere (stem acts, block acts, the trailing
+    ``final`` act), SE on stage 2, avg_down shortcuts.  DropBlock stays
+    None (eval-mode identity); its mask math is pinned statistically in
+    tests/test_dropblock.py instead."""
+    lib_dir = os.path.dirname(FULL)
+    sys.path.insert(0, lib_dir)
+    try:
+        ref = _load_plain("_ref_cls_resnetD",
+                          os.path.join(FULL, "cls_resnetD.py"))
+    finally:
+        sys.path.remove(lib_dir)
+    dy_cfg = types.SimpleNamespace(
+        ENABLE=True, REDUCTION=4, LAMBDA_A=1.0, K2=True, USE_BIAS=True,
+        INIT_A=[1.0, 0.0], INIT_B=[0.0, 0.0],
+    )
+    RN = ref.ResNetD
+    stage1 = RN.make_layer(
+        ref.PreActBottleneck, 1, 1, avg_down=True, in_channels=64,
+        out_channels=256, dropblock=None, bottleneck_channels=64,
+        dy_relu_cfg=dy_cfg,
+    )
+    stage2 = RN.make_layer(
+        ref.PreActBottleneck, 1, 2, avg_down=True, in_channels=256,
+        out_channels=512, dropblock=None, bottleneck_channels=128,
+        with_se=True, dy_relu_cfg=dy_cfg,
+    )
+    m = RN([stage1, stage2], res5_out_channels=512, deep_stem=True,
+           num_classes=classes, dy_relu=dy_cfg)
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    # a couple of train-mode passes so the BN running stats are
+    # non-trivial before the pinned eval forward
+    m.train()
+    with torch.no_grad():
+        for _ in range(2):
+            m(rand(2, 3, image, image))
+    m.eval()
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        logits = m(x)
+    out = {"x": x.numpy(), "logits": logits.numpy()}
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, "refexec_resnet_d.npz"), **out)
+    print("refexec_resnet_d:", logits.shape, float(logits.abs().mean()))

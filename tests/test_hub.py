@@ -1,0 +1,251 @@
+"""Azure dataset-hub resolution + gated download (data/hub.py; reference
+common/constants.py:4-12 + evaluation/feature.py:540-587).
+
+No network: the transport is injected (``opener``) and served from a
+local 'remote' directory built with the same manifest fixture the
+ELEVATER reader tests use.
+"""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from peft_vit_tpu.data.hub import (
+    VISION_DATASET_STORAGE,
+    dataset_files,
+    ensure_dataset,
+    load_registry,
+    missing_files,
+    packaged_registry_path,
+    resolve_entry,
+    split_files,
+)
+
+from test_elevater import _make_manifest
+
+
+class TestRegistry:
+    def test_packaged_registry_matches_reference(self):
+        reg = load_registry()
+        names = {e["name"] for e in reg}
+        # the reference registry ships 46 entries incl. the benchmark's
+        # flagship datasets
+        assert len(reg) == 46
+        for known in ("cifar-10", "cifar-100", "imagenet-1k",
+                      "oxford-flower-102", "patch-camelyon"):
+            assert known in names, known
+
+    def test_resolve_latest_version(self):
+        reg = [
+            {"name": "d", "version": 1, "root_folder": "a"},
+            {"name": "d", "version": 3, "root_folder": "c"},
+            {"name": "d", "version": 2, "root_folder": "b"},
+        ]
+        assert resolve_entry("d", reg)["root_folder"] == "c"
+        with pytest.raises(KeyError):
+            resolve_entry("nope", reg)
+
+    def test_split_file_enumeration(self):
+        e = resolve_entry("cifar-10")
+        assert split_files(e, "train") == ["train.txt", "train.zip"]
+        assert split_files(e, "val") == []
+        files = dataset_files(e)
+        # cifar-10's test usage points at val.zip, and the entry-level
+        # labelmap (labels.txt) must ride along
+        assert "val.zip" in files and "train.txt" in files
+        assert "labels.txt" in files
+
+
+class TestEnsureDataset:
+    def _serve_from(self, remote_root, entry):
+        """opener serving blob URLs out of a local directory."""
+        base = f"{VISION_DATASET_STORAGE}/{entry['root_folder']}/"
+
+        def opener(url):
+            assert url.startswith(base), url
+            path = os.path.join(
+                remote_root, entry["root_folder"], url[len(base):]
+            )
+            return io.BytesIO(open(path, "rb").read())
+
+        return opener
+
+    def test_gated_by_default(self, tmp_path):
+        remote = tmp_path / "remote"
+        entry = _make_manifest(str(remote), name="hub-toy")
+        dest = tmp_path / "cache"
+        with pytest.raises(FileNotFoundError) as e:
+            ensure_dataset(
+                "hub-toy",
+                str(dest),
+                registry_path=str(remote / "vision_datasets.json"),
+            )
+        # the error names the exact blobs to provision offline
+        assert "train.zip" in str(e.value)
+        assert VISION_DATASET_STORAGE in str(e.value)
+        assert not (dest / entry["root_folder"]).exists()
+
+    def test_download_and_idempotence(self, tmp_path):
+        remote = tmp_path / "remote"
+        entry = _make_manifest(str(remote), name="hub-toy")
+        dest = tmp_path / "cache"
+        reg = str(remote / "vision_datasets.json")
+        out = ensure_dataset(
+            "hub-toy",
+            str(dest),
+            registry_path=reg,
+            download=True,
+            opener=self._serve_from(str(remote), entry),
+        )
+        local = dest / entry["root_folder"]
+        assert out["root"] == str(local)
+        for f in ("train.json", "train.zip", "test.json", "test.zip"):
+            assert (local / f).exists(), f
+        assert missing_files(entry, str(dest)) == []
+
+        # second call must not touch the wire
+        def explode(url):
+            raise AssertionError(f"unexpected fetch: {url}")
+
+        ensure_dataset(
+            "hub-toy", str(dest), registry_path=reg, download=True,
+            opener=explode,
+        )
+
+    def test_load_split_through_the_hub(self, tmp_path, monkeypatch):
+        """DATASET.DOWNLOAD=True: load_split fetches the hub blobs, drops
+        the registry into DATASET.ROOT, and the ELEVATER reader decodes
+        the split (feature.py:540-577 end-to-end)."""
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.data.registry import load_split
+
+        remote = tmp_path / "remote"
+        entry = _make_manifest(str(remote), name="hub-toy", n=6, classes=3)
+        dest = tmp_path / "cache"
+
+        import peft_vit_tpu.data.hub as hub_mod
+
+        monkeypatch.setattr(
+            hub_mod,
+            "packaged_registry_path",
+            lambda: str(remote / "vision_datasets.json"),
+        )
+        monkeypatch.setattr(
+            hub_mod.urllib.request,
+            "urlopen",
+            self._serve_from(str(remote), entry),
+        )
+        # registry.load_split imports from .hub — patch there too
+        import peft_vit_tpu.data.registry as reg_mod  # noqa: F401
+
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "hub-toy"
+        cfg.DATASET.ROOT = str(dest)
+        cfg.DATASET.DOWNLOAD = True
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        x, y = load_split(cfg, "train")
+        assert x.shape[0] == 6 and x.shape[1:3] == (16, 16)
+        assert set(np.asarray(y).tolist()) == {0, 1, 2}
+
+
+def _make_iris_manifest(root, name="iris-toy", n=6, classes=3,
+                        multilabel=False):
+    """cifar-10-shaped iris txt layout: train.txt/test.txt index lines
+    ``archive.zip@member label[,label]``, labels.txt labelmap."""
+    import zipfile
+
+    from test_elevater import _png_bytes
+
+    ds_dir = os.path.join(root, "classification", name)
+    os.makedirs(ds_dir, exist_ok=True)
+    for split, zip_name in (("train", "train.zip"), ("test", "val.zip")):
+        lines = []
+        with zipfile.ZipFile(os.path.join(ds_dir, zip_name), "w") as zf:
+            for i in range(n):
+                c = i % classes
+                im = np.full((20, 20, 3), 30 + 50 * c, np.uint8)
+                member = f"{split}_{i}.png"
+                zf.writestr(member, _png_bytes(im))
+                lab = f"{c},{(c + 1) % classes}" if multilabel else str(c)
+                lines.append(f"{zip_name}@{member} {lab}")
+        with open(os.path.join(ds_dir, f"{split}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(os.path.join(ds_dir, "labels.txt"), "w") as f:
+        f.write("\n".join(f"name {c}" for c in range(classes)) + "\n")
+    entry = {
+        "name": name,
+        "version": 1,
+        "type": "classification_multilabel"
+        if multilabel
+        else "classification_multiclass",
+        "root_folder": f"classification/{name}",
+        "labelmap": "labels.txt",
+        "num_classes": classes,
+        "train": {
+            "index_path": "train.txt",
+            "files_for_local_usage": ["train.zip"],
+            "num_images": n,
+        },
+        "test": {
+            "index_path": "test.txt",
+            "files_for_local_usage": ["val.zip"],
+            "num_images": n,
+        },
+    }
+    with open(os.path.join(root, "vision_datasets.json"), "w") as f:
+        json.dump([entry], f)
+    return entry
+
+
+class TestIrisTxtFormat:
+    def test_txt_split_reads_zip_members_and_labelmap(self, tmp_path):
+        from peft_vit_tpu.data.elevater import load_txt_split
+
+        entry = _make_iris_manifest(str(tmp_path))
+        x, y, names = load_txt_split(str(tmp_path), entry, "train", 16)
+        assert x.shape == (6, 16, 16, 3)
+        assert names == ["name 0", "name 1", "name 2"]
+        assert y.tolist() == [0, 1, 2, 0, 1, 2]
+
+    def test_txt_multilabel(self, tmp_path):
+        from peft_vit_tpu.data.elevater import load_txt_split
+
+        entry = _make_iris_manifest(str(tmp_path), multilabel=True)
+        x, y, _ = load_txt_split(str(tmp_path), entry, "train", 16)
+        assert y.shape == (6, 3)
+        assert y[0].tolist() == [1, 1, 0]  # labels 0,1
+
+    def test_hub_download_then_iris_load_split(self, tmp_path, monkeypatch):
+        """The cifar-10 shape end-to-end: DATASET.DOWNLOAD fetches
+        train.txt + train.zip + labels.txt, then load_split decodes via
+        the iris reader."""
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.data.registry import load_split
+
+        remote = tmp_path / "remote"
+        entry = _make_iris_manifest(str(remote), name="iris-toy")
+        dest = tmp_path / "cache"
+
+        import peft_vit_tpu.data.hub as hub_mod
+
+        monkeypatch.setattr(
+            hub_mod,
+            "packaged_registry_path",
+            lambda: str(remote / "vision_datasets.json"),
+        )
+        serve = TestEnsureDataset()._serve_from(str(remote), entry)
+        monkeypatch.setattr(hub_mod.urllib.request, "urlopen", serve)
+
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "iris-toy"
+        cfg.DATASET.ROOT = str(dest)
+        cfg.DATASET.DOWNLOAD = True
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        x, y = load_split(cfg, "train")
+        assert x.shape == (6, 16, 16, 3)
+        assert (dest / entry["root_folder"] / "labels.txt").exists()

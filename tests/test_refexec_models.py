@@ -676,3 +676,92 @@ class TestSslSwinRefexec:
         np.testing.assert_allclose(
             np.asarray(nlast), g["nlast"], rtol=1e-4, atol=1e-5
         )
+
+
+class TestResNetDRefexec:
+    def test_resnet_d_end_to_end(self):
+        """cls_resnetD.py executed whole: deep 3x3 stem without maxpool,
+        PreActBottleneck (act0 on the input, downsample fed from act0,
+        bn3 AFTER the residual add), DYReLU2 activations at every act
+        site including the trailing ``final`` act, SE on stage 2 and
+        avg_down shortcuts — all with non-trivial BN running stats."""
+        from flax import traverse_util
+
+        from peft_vit_tpu.models.resnet import DyReLUSpec, ResNet
+
+        g = np.load(os.path.join(GOLDEN, "refexec_resnet_d.npz"))
+        sd = _sd(g)
+
+        params, stats = {}, {}
+
+        def put_conv(path, key):
+            params[path + "/kernel"] = _conv(sd[key + ".weight"])
+
+        def put_bn(path, key):
+            params[path + "/scale"] = sd[key + ".weight"]
+            params[path + "/bias"] = sd[key + ".bias"]
+            stats[path + "/mean"] = sd[key + ".running_mean"]
+            stats[path + "/var"] = sd[key + ".running_var"]
+
+        def put_dy(path, key):
+            # DYReLU2 head: fc.0 (squeeze) and fc.2 (coefficients)
+            params[path + "/fc1/kernel"] = sd[key + ".fc.0.weight"].T
+            params[path + "/fc1/bias"] = sd[key + ".fc.0.bias"]
+            params[path + "/fc2/kernel"] = sd[key + ".fc.2.weight"].T
+            params[path + "/fc2/bias"] = sd[key + ".fc.2.bias"]
+
+        for i in (1, 2, 3):
+            put_conv(f"stem_conv{i}", f"conv{i}")
+            put_bn(f"stem_bn{i}", f"bn{i}")
+        put_dy("stem_act1", "act1")
+        put_dy("stem_act2", "act2")
+        for si in (1, 2):
+            o = f"layer{si}_block0"
+            p = f"layer{si}.0"
+            put_dy(f"{o}/act0", f"{p}.act0")
+            put_dy(f"{o}/act1", f"{p}.act1")
+            put_dy(f"{o}/act2", f"{p}.act2")
+            for c in ("conv1", "conv2", "conv3"):
+                put_conv(f"{o}/{c}", f"{p}.{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                put_bn(f"{o}/{b}", f"{p}.{b}")
+            # avg_down shortcut = Sequential(AvgPool, Conv, BN)
+            put_conv(f"{o}/downsample", f"{p}.downsample.1")
+            put_bn(f"{o}/bn_down", f"{p}.downsample.2")
+            if f"{p}.se.fc.0.weight" in sd:
+                params[f"{o}/se/fc1/kernel"] = sd[f"{p}.se.fc.0.weight"].T
+                params[f"{o}/se/fc2/kernel"] = sd[f"{p}.se.fc.2.weight"].T
+        put_dy("final_act", "final.0")
+
+        model = ResNet(
+            layers=(1, 1),
+            width=64,
+            version="d",
+            deep_stem=True,
+            avg_down=True,
+            se_ratio=1.0 / 16.0,
+            se_stages=(False, True),
+            dy_relu=DyReLUSpec(),
+        )
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        vflat = traverse_util.flatten_dict(variables["params"], sep="/")
+        assert set(vflat) == set(params), (
+            sorted(set(vflat) ^ set(params))[:8]
+        )
+        for k, v in params.items():
+            assert vflat[k].shape == v.shape, (k, vflat[k].shape, v.shape)
+        feats = model.apply(
+            {
+                "params": traverse_util.unflatten_dict(params, sep="/"),
+                "batch_stats": traverse_util.unflatten_dict(
+                    stats, sep="/"
+                ),
+            },
+            x,
+            True,
+        )
+        logits = np.asarray(feats) @ sd["fc.weight"].T + sd["fc.bias"]
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=1e-4, atol=1e-5
+        )

@@ -218,7 +218,12 @@ class TestBatchNormTraining:
         batches = list(batch_iterator(x, y, 8, shuffle=False))
         trainer.update_bn(iter(batches))
         means = np.stack([bx.mean(0) for bx, _ in batches]).mean(0)
-        variances = np.stack([bx.var(0) for bx, _ in batches]).mean(0)
+        # torch BN blends the UNBIASED batch variance into running_var
+        # (FeatureBatchNorm is torch-exact since the channel_bn parity
+        # closure), so update_bn recovers the ddof=1 statistic
+        variances = np.stack(
+            [bx.var(0, ddof=1) for bx, _ in batches]
+        ).mean(0)
         flat = jax.tree_util.tree_flatten_with_path(
             trainer.state.batch_stats
         )[0]
