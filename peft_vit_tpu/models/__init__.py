@@ -21,7 +21,7 @@ from .convert import (
 from .efficientnet import EfficientNet
 from .factory import build_image_classifier, init_head_from_text
 from .registry import get_custom_builder, register_model
-from .hrnet import HRNet
+from .hrnet import HRNet, HRNetV
 from .resnet import (
     DyReLU,
     DyReLUSpec,
@@ -54,6 +54,7 @@ __all__ = [
     "FeatureBatchNorm",
     "FrozenBatchNorm",
     "HRNet",
+    "HRNetV",
     "ContrastiveClassifier",
     "ImageClassifier",
     "ReXNet",

@@ -801,3 +801,179 @@ def hrnet_state_dict_to_tree(
     conv("final_conv", "proj_modules.0", bias=True)
     bn("final_bn", "proj_modules.1")
     return flat, stats
+
+
+def hrnet_v_state_dict_to_tree(
+    sd: Dict[str, Any],
+    version: str,
+    stem_spec: str = "",
+    num_modules=(),
+    num_branches=(),
+    num_blocks=(),
+    num_channels=(),
+    block=(),
+    head_block=(),
+    head_proj: int = 2048,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """cls_hrnet_v2/v2_share/v3/v4 state dict -> HRNetV naming
+    (models/hrnet.py).  Mirrors the torch module tree structurally from
+    the same arch spec the flax model gets; the classifier Linear stays
+    external.  Returns (params, batch_stats)."""
+    flat: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def conv(path, key, bias=False):
+        flat[path + "/kernel"] = _np(sd[key + ".weight"]).transpose(
+            2, 3, 1, 0
+        )
+        if bias or key + ".bias" in sd:
+            flat[path + "/bias"] = _np(sd[key + ".bias"])
+
+    def bn(path, key):
+        flat[path + "/bn/scale"] = _np(sd[key + ".weight"])
+        flat[path + "/bn/bias"] = _np(sd[key + ".bias"])
+        stats[path + "/bn/mean"] = _np(sd[key + ".running_mean"])
+        stats[path + "/bn/var"] = _np(sd[key + ".running_var"])
+
+    def se(path, key):
+        if key + ".fc.0.weight" not in sd:
+            return
+        flat[path + "/fc0/kernel"] = _np(sd[key + ".fc.0.weight"]).T
+        flat[path + "/fc2/kernel"] = _np(sd[key + ".fc.2.weight"]).T
+
+    def downsample(path, key):
+        # _build_layer style: Sequential(Conv2d, BatchNorm2d)
+        if key + ".0.weight" in sd and key + ".1.running_mean" in sd:
+            conv(path + "/downsample", key + ".0")
+            bn(path + "/bn_down", key + ".1")
+        # branch style: Sequential(AvgPool2d, Conv2d(norm=BN))
+        elif key + ".1.weight" in sd:
+            conv(path + "/downsample", key + ".1")
+            bn(path + "/bn_down", key + ".1.norm")
+
+    def basic(path, key):
+        conv(path + "/conv1", key + ".conv1")
+        bn(path + "/bn1", key + ".bn1")
+        conv(path + "/conv2", key + ".conv2")
+        bn(path + "/bn2", key + ".bn2")
+        se(path + "/se", key + ".se")
+        downsample(path, key + ".downsample")
+
+    def bottleneck(path, key):
+        for c in ("conv1", "conv2", "conv3"):
+            conv(f"{path}/{c}", f"{key}.{c}")
+        for b in ("bn1", "bn2", "bn3"):
+            bn(f"{path}/{b}", f"{key}.{b}")
+        se(path + "/se", key + ".se")
+        downsample(path, key + ".downsample")
+
+    def inverted(path, key):
+        conv(path + "/conv_pw", key + ".conv_pw", bias=True)
+        bn(path + "/bn1", key + ".bn1")
+        conv(path + "/conv_dw", key + ".conv_dw", bias=True)
+        bn(path + "/bn2", key + ".bn2")
+        se(path + "/se", key + ".se")
+        conv(path + "/conv_pwl", key + ".conv_pwl", bias=True)
+        bn(path + "/bn3", key + ".bn3")
+        downsample(path, key + ".downsample")
+
+    blockmap = {"BASIC": basic, "BOTTLENECK": bottleneck,
+                "INVERTED": inverted}
+
+    def wrapper_conv_bn(path_conv, path_bn, key):
+        # lib/layers/wrappers.py Conv2d(norm=get_norm('BN', ...))
+        conv(path_conv, key)
+        bn(path_bn, key + ".norm")
+
+    # ---- stem
+    if version in ("v2", "v2_share"):
+        conv("stem_conv1", "conv1")
+        bn("stem_bn1", "bn1")
+        conv("stem_conv2", "conv2")
+        bn("stem_bn2", "bn2")
+        for k in range(4):
+            bottleneck(f"layer1_block{k}", f"layer1.{k}")
+    elif version == "v3":
+        conv("stem_conv1", "conv1")
+        bn("stem_bn1", "bn1")
+        conv("stem_conv2", "conv2")
+        bn("stem_bn2", "bn2")
+        for k in range(2):
+            inverted(f"layer1_block{k}", f"layer1.{k}")
+    elif version == "v4":
+        if stem_spec == "conv16s2conv24s2inv24e6x2":
+            wrapper_conv_bn("stem_conv1", "stem_bn1", "stem.0")
+            wrapper_conv_bn("stem_conv2", "stem_bn2", "stem.1")
+            inverted("layer1_block0", "stem.2.0")
+            inverted("layer1_block1", "stem.2.1")
+        elif stem_spec == "conv32s2maxpools2":
+            wrapper_conv_bn("stem_conv1", "stem_bn1", "stem.0")
+        elif stem_spec == "conv32s2maxpools2inv32e6x1":
+            wrapper_conv_bn("stem_conv1", "stem_bn1", "stem.0")
+            inverted("layer1_block0", "stem.2.0")
+        elif stem_spec == "conv32s2maxpools2inv32e2wosex1":
+            # this stem's block is a RAW InvertedResidual, not a
+            # _build_layer Sequential (cls_hrnet_v4.py:482)
+            wrapper_conv_bn("stem_conv1", "stem_bn1", "stem.0")
+            inverted("layer1_block0", "stem.2")
+        elif stem_spec in ("conv32s2inv32e6s2x1", "conv24s2inv24e6s2x1"):
+            wrapper_conv_bn("stem_conv1", "stem_bn1", "stem.0")
+            inverted("layer1_block0", "stem.1.0")
+        else:
+            raise ValueError(f"unknown STEM_SPEC {stem_spec!r}")
+
+    # ---- transitions + stages
+    for i in range(len(num_modules)):
+        nb = num_branches[i]
+        for j in range(nb):
+            plain = f"transition{i + 1}.{j}.0.weight"
+            nested = f"transition{i + 1}.{j}.0.0.weight"
+            if plain in sd:
+                conv(f"transition{i + 1}_{j}", f"transition{i + 1}.{j}.0")
+                bn(f"transition{i + 1}_bn{j}", f"transition{i + 1}.{j}.1")
+            elif nested in sd:
+                k = 0
+                while f"transition{i + 1}.{j}.{k}.0.weight" in sd:
+                    conv(
+                        f"transition{i + 1}_{j}_{k}",
+                        f"transition{i + 1}.{j}.{k}.0",
+                    )
+                    bn(
+                        f"transition{i + 1}_bn{j}_{k}",
+                        f"transition{i + 1}.{j}.{k}.1",
+                    )
+                    k += 1
+        cvt = blockmap[block[i]]
+        for m in range(num_modules[i]):
+            base = f"stage{i + 2}.{m}"
+            o = f"stage{i + 2}_m{m}"
+            for b in range(nb):
+                for blk in range(num_blocks[i][b]):
+                    cvt(f"{o}/branch{b}_block{blk}",
+                        f"{base}.branches.{b}.{blk}")
+            for f in range(nb - 1):
+                wrapper_conv_bn(
+                    f"{o}/fuse_down{f}", f"{o}/fuse_down_bn{f}",
+                    f"{base}.fuse_downsample_layers.{f}",
+                )
+                wrapper_conv_bn(
+                    f"{o}/fuse_up{f}", f"{o}/fuse_up_bn{f}",
+                    f"{base}.fuse_upsample_layers.{f}",
+                )
+
+    # ---- head
+    for i, hb in enumerate(head_block):
+        if f"incre_modules.{i}.0.conv1.weight" in sd or (
+            f"incre_modules.{i}.0.conv_pw.weight" in sd
+        ):
+            blockmap[hb](f"incre{i}", f"incre_modules.{i}.0")
+    i = 0
+    while f"downsample_modules.{i}.0.weight" in sd:
+        conv(f"down{i + 1}", f"downsample_modules.{i}.0", bias=True)
+        bn(f"down_bn{i + 1}", f"downsample_modules.{i}.1")
+        i += 1
+    if head_proj > 0 and "proj_modules.0.weight" in sd:
+        conv("final_conv", "proj_modules.0", bias=True)
+        bn("final_bn", "proj_modules.1")
+
+    return flat, stats

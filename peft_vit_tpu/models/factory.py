@@ -97,7 +97,40 @@ def is_hrnet_model(cfg) -> bool:
 
 
 def _build_hrnet_backbone(cfg, dtype):
-    """cls_hrnet family (reference lib/models/cls_hrnet*.py)."""
+    """cls_hrnet family (reference lib/models/cls_hrnet*.py).
+
+    ``cls_hrnet_v2`` / ``cls_hrnet_v2_share`` / ``cls_hrnet_v3`` /
+    ``cls_hrnet_v4`` build HRNetV from the reference experiment-yaml
+    surface: v2 reads MODEL.SPEC (WITH_SE, STAGES, HEAD —
+    cls_hrnet_v2.py:322-360), v3/v4 read MODEL.EXTRA (WITH_SE,
+    STEM_SPEC, STAGES_SPEC, HEAD_SPEC — cls_hrnet_v4.py:392-435)."""
+    name = str(cfg.MODEL.NAME).lower()
+    if "hrnet_v" in name:
+        from .hrnet import HRNetV
+
+        version = name.split("hrnet_")[-1]  # v2 | v2_share | v3 | v4
+        if version in ("v2", "v2_share"):
+            spec = cfg.MODEL.SPEC
+            stages, head = spec.STAGES, spec.HEAD
+        else:
+            spec = cfg.MODEL.EXTRA
+            stages, head = spec.STAGES_SPEC, spec.HEAD_SPEC
+        groups = stages.get("GROUPS", None)
+        return HRNetV(
+            version=version,
+            stem_spec=str(spec.get("STEM_SPEC", "")),
+            num_modules=tuple(stages.NUM_MODULES),
+            num_branches=tuple(stages.NUM_BRANCHES),
+            num_blocks=tuple(tuple(b) for b in stages.NUM_BLOCKS),
+            num_channels=tuple(tuple(c) for c in stages.NUM_CHANNELS),
+            block=tuple(str(b) for b in stages.BLOCK),
+            groups=tuple(tuple(g) for g in groups) if groups else (),
+            head_block=tuple(str(b) for b in head.BLOCK),
+            head_channels=tuple(head.NUM_CHANNELS),
+            head_proj=int(head.NUM_CHANNELS_PROJ),
+            with_se=bool(spec.get("WITH_SE", False)),
+            dtype=dtype,
+        )
     from .hrnet import HRNet
 
     s = cfg.MODEL.SPEC.VISION

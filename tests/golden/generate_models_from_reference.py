@@ -276,6 +276,11 @@ if __name__ == "__main__":
     gen_transformer_probe()
     gen_hrnet()
     gen_ssl_swin()
+    gen_hrnet_v2()
+    gen_hrnet_v2_share()
+    gen_hrnet_v3()
+    gen_hrnet_v4()
+    gen_hrnet_v4_wose()
 
 
 def gen_rexnet(seed=51, wm=0.5, dm=0.5, image=64, classes=5):
@@ -677,3 +682,108 @@ def gen_resnet_d(seed=61, image=32, classes=5):
     _save_sd(out, m)
     np.savez(os.path.join(HERE, "refexec_resnet_d.npz"), **out)
     print("refexec_resnet_d:", logits.shape, float(logits.abs().mean()))
+
+
+def _gen_hrnet_v(name, fname, cfg_kw, seed, image=64, classes=5):
+    """Execute one cls_hrnet_v{2,2_share,3,4} whole and pin it."""
+    lib_dir = os.path.dirname(FULL)
+    sys.path.insert(0, lib_dir)
+    try:
+        ref = _load_plain(f"_ref_{name}", os.path.join(FULL, f"{name}.py"))
+    finally:
+        sys.path.remove(lib_dir)
+    cfg = _AttrDict(MODEL=_AttrDict(NUM_CLASSES=classes, **cfg_kw))
+    m = ref.HighResolutionNet(cfg).eval()
+    rand = _seeded(seed)
+    _randomize(m, rand)
+    x = rand(2, 3, image, image)
+    with torch.no_grad():
+        logits = m(x)
+    out = {"x": x.numpy(), "logits": logits.numpy()}
+    _save_sd(out, m)
+    np.savez(os.path.join(HERE, fname), **out)
+    print(f"{fname[:-4]}:", logits.shape, float(logits.abs().mean()))
+
+
+def _hrnet_v_stages(block, chans):
+    return _AttrDict(
+        NUM_STAGES=len(chans),
+        NUM_MODULES=[1] * len(chans),
+        NUM_BRANCHES=[len(c) for c in chans],
+        NUM_BLOCKS=[[2] * len(c) for c in chans],
+        NUM_CHANNELS=[list(c) for c in chans],
+        BLOCK=[block] * len(chans),
+        FUSE_METHOD=["SUM"] * len(chans),
+    )
+
+
+def gen_hrnet_v2(seed=61):
+    """cls_hrnet_v2.py whole: SE-bottleneck stem to 256, per-stage
+    channel-changing transitions read from the branch's OWN resolution
+    (:543-546), branches whose LAST block drops its relu (:223-225), the
+    chained fuse (relu'd running sums, :277-311), and the
+    with_relu=False BOTTLENECK incre head (:387-388)."""
+    spec = _AttrDict(
+        WITH_SE=True,
+        STAGES=_hrnet_v_stages("BASIC", [(8, 16), (9, 18, 36),
+                                         (10, 20, 40, 80)]),
+        HEAD=_AttrDict(BLOCK=["BOTTLENECK"] * 4,
+                       NUM_CHANNELS=[8, 16, 32, 64],
+                       NUM_CHANNELS_PROJ=128),
+    )
+    _gen_hrnet_v("cls_hrnet_v2", "refexec_hrnet_v2.npz",
+                 dict(SPEC=spec), seed)
+
+
+def gen_hrnet_v2_share(seed=62):
+    """cls_hrnet_v2_share.py whole: branch modules weight-shared across
+    resolutions via cumulative channel splits (:164-174,302-310)."""
+    spec = _AttrDict(
+        WITH_SE=True,
+        STAGES=_hrnet_v_stages("BASIC", [(8, 16), (8, 16, 32),
+                                         (8, 16, 32, 64)]),
+        HEAD=_AttrDict(BLOCK=["BOTTLENECK"] * 4,
+                       NUM_CHANNELS=[8, 16, 32, 64],
+                       NUM_CHANNELS_PROJ=128),
+    )
+    _gen_hrnet_v("cls_hrnet_v2_share", "refexec_hrnet_v2_share.npz",
+                 dict(SPEC=spec), seed)
+
+
+def gen_hrnet_v3(seed=63):
+    """cls_hrnet_v3.py whole: 3->16->24 conv stem + 2 inverted residuals,
+    INVERTED branches (bias-carrying convs, SE(reduction=4) on the
+    expanded width), transitions always fed from the LAST branch."""
+    extra = _AttrDict(
+        WITH_SE=True,
+        STAGES_SPEC=_hrnet_v_stages("INVERTED", [(8, 16), (8, 16, 32),
+                                                 (8, 16, 32, 64)]),
+        HEAD_SPEC=_AttrDict(BLOCK=["INVERTED"] * 4,
+                            NUM_CHANNELS=[16, 32, 64, 128],
+                            NUM_CHANNELS_PROJ=256),
+    )
+    _gen_hrnet_v("cls_hrnet_v3", "refexec_hrnet_v3.npz",
+                 dict(EXTRA=extra), seed)
+
+
+def gen_hrnet_v4(seed=64, stem="conv32s2maxpools2inv32e6x1",
+                 fname="refexec_hrnet_v4.npz"):
+    """cls_hrnet_v4.py whole at the flagship STEM_SPEC (w18s_stemV3
+    experiment family)."""
+    extra = _AttrDict(
+        WITH_SE=True,
+        STEM_SPEC=stem,
+        STAGES_SPEC=_hrnet_v_stages("INVERTED", [(8, 16), (8, 16, 32),
+                                                 (8, 16, 32, 64)]),
+        HEAD_SPEC=_AttrDict(BLOCK=["INVERTED"] * 4,
+                            NUM_CHANNELS=[16, 32, 64, 128],
+                            NUM_CHANNELS_PROJ=256),
+    )
+    _gen_hrnet_v("cls_hrnet_v4", fname, dict(EXTRA=extra), seed)
+
+
+def gen_hrnet_v4_wose(seed=65):
+    """The 'inv32e2wosex1' stem: a raw InvertedResidual(exp=2) whose SE,
+    despite the name, is ON (constructor default, cls_hrnet_v4.py:482)."""
+    gen_hrnet_v4(seed, "conv32s2maxpools2inv32e2wosex1",
+                 "refexec_hrnet_v4_wose.npz")

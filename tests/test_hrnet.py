@@ -39,3 +39,98 @@ class TestHRNet:
         v = m.init(jax.random.PRNGKey(0), x)
         _, upd = m.apply(v, x, False, mutable=["batch_stats"])
         assert jax.tree_util.tree_leaves(upd["batch_stats"])
+
+
+class TestHRNetVFactory:
+    """cls_hrnet_v2/v3/v4 built from the reference experiment-yaml config
+    surface (MODEL.SPEC for v2, MODEL.EXTRA for v3/v4)."""
+
+    def _cfg(self, name):
+        from peft_vit_tpu.config import get_default_config
+
+        cfg = get_default_config()
+        cfg.defrost()
+        cfg.MODEL.NAME = name
+        cfg.DATASET.NUM_CLASSES = 4
+        cfg.TRAIN.IMAGE_SIZE = [64, 64]
+        return cfg
+
+    def test_v4_from_extra(self):
+        import jax
+
+        from peft_vit_tpu.config.node import CfgNode as CN
+        from peft_vit_tpu.models.factory import (
+            _build_hrnet_backbone,
+            is_hrnet_model,
+        )
+
+        cfg = self._cfg("cls_hrnet_v4")
+        cfg.MODEL.EXTRA = CN(
+            {
+                "WITH_SE": True,
+                "STEM_SPEC": "conv32s2maxpools2inv32e6x1",
+                "STAGES_SPEC": CN(
+                    {
+                        "NUM_STAGES": 2,
+                        "NUM_MODULES": [1, 1],
+                        "NUM_BRANCHES": [2, 3],
+                        "NUM_BLOCKS": [[2, 2], [2, 2, 2]],
+                        "NUM_CHANNELS": [[8, 16], [8, 16, 32]],
+                        "BLOCK": ["INVERTED", "INVERTED"],
+                        "FUSE_METHOD": ["SUM", "SUM"],
+                    },
+                    new_allowed=True,
+                ),
+                "HEAD_SPEC": CN(
+                    {
+                        "BLOCK": ["INVERTED"] * 3,
+                        "NUM_CHANNELS": [16, 32, 64],
+                        "NUM_CHANNELS_PROJ": 128,
+                    },
+                    new_allowed=True,
+                ),
+            },
+            new_allowed=True,
+        )
+        assert is_hrnet_model(cfg)
+        m = _build_hrnet_backbone(cfg, jnp.float32)
+        x = jnp.ones((2, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 128)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_v2_from_spec(self):
+        import jax
+
+        from peft_vit_tpu.config.node import CfgNode as CN
+        from peft_vit_tpu.models.factory import _build_hrnet_backbone
+
+        cfg = self._cfg("cls_hrnet_v2")
+        cfg.MODEL.SPEC.WITH_SE = True
+        cfg.MODEL.SPEC.STAGES = CN(
+            {
+                "NUM_STAGES": 2,
+                "NUM_MODULES": [1, 1],
+                "NUM_BRANCHES": [2, 3],
+                "NUM_BLOCKS": [[2, 2], [2, 2, 2]],
+                "NUM_CHANNELS": [[8, 16], [9, 18, 36]],
+                "BLOCK": ["BASIC", "BASIC"],
+                "FUSE_METHOD": ["SUM", "SUM"],
+            },
+            new_allowed=True,
+        )
+        cfg.MODEL.SPEC.HEAD = CN(
+            {
+                "BLOCK": ["BOTTLENECK"] * 3,
+                "NUM_CHANNELS": [8, 16, 32],
+                "NUM_CHANNELS_PROJ": 64,
+            },
+            new_allowed=True,
+        )
+        m = _build_hrnet_backbone(cfg, jnp.float32)
+        x = jnp.ones((2, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 64)
+        assert bool(jnp.isfinite(out).all())

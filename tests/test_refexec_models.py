@@ -765,3 +765,125 @@ class TestResNetDRefexec:
         np.testing.assert_allclose(
             logits, g["logits"], rtol=1e-4, atol=1e-5
         )
+
+
+class TestHRNetVRefexec:
+    """cls_hrnet_v2 / v2_share / v3 / v4 executed whole (tiny geometry)
+    -> hrnet_v_state_dict_to_tree -> HRNetV; external classifier."""
+
+    def _run(self, fname, version, **kw):
+        from flax import traverse_util
+
+        from peft_vit_tpu.models.convert import hrnet_v_state_dict_to_tree
+        from peft_vit_tpu.models.hrnet import HRNetV
+
+        g = np.load(os.path.join(GOLDEN, fname))
+        sd = _sd(g)
+        spec = dict(
+            num_modules=(1, 1, 1),
+            num_branches=(2, 3, 4),
+            num_blocks=((2, 2), (2, 2, 2), (2, 2, 2, 2)),
+            with_se=True,
+        )
+        spec.update(kw)
+        flat, fstats = hrnet_v_state_dict_to_tree(
+            sd,
+            version,
+            stem_spec=spec.get("stem_spec", ""),
+            num_modules=spec["num_modules"],
+            num_branches=spec["num_branches"],
+            num_blocks=spec["num_blocks"],
+            num_channels=spec["num_channels"],
+            block=spec["block"],
+            head_block=spec["head_block"],
+            head_proj=spec["head_proj"],
+        )
+        model = HRNetV(version=version, **spec)
+        x = jnp.asarray(g["x"]).transpose(0, 2, 3, 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        params, missing = graft(variables["params"], flat)
+        assert not missing, missing[:6]
+        sflat = traverse_util.flatten_dict(
+            variables["batch_stats"], sep="/"
+        )
+        assert set(sflat) == set(fstats), sorted(
+            set(sflat) ^ set(fstats)
+        )[:6]
+        feats = model.apply(
+            {
+                "params": params,
+                "batch_stats": traverse_util.unflatten_dict(
+                    fstats, sep="/"
+                ),
+            },
+            x,
+            True,
+        )
+        logits = (
+            np.asarray(feats) @ sd["classifier.weight"].T
+            + sd["classifier.bias"]
+        )
+        np.testing.assert_allclose(
+            logits, g["logits"], rtol=2e-4, atol=1e-4
+        )
+
+    def test_v2_end_to_end(self):
+        """v2: SE-bottleneck stem, own-resolution transitions, last-block
+        relu drop, chained fuse, with_relu=False BOTTLENECK incre head."""
+        self._run(
+            "refexec_hrnet_v2.npz", "v2",
+            num_channels=((8, 16), (9, 18, 36), (10, 20, 40, 80)),
+            block=("BASIC",) * 3,
+            head_block=("BOTTLENECK",) * 4,
+            head_channels=(8, 16, 32, 64),
+            head_proj=128,
+        )
+
+    def test_v2_share_end_to_end(self):
+        """v2_share: branch stacks weight-shared across resolutions via
+        cumulative channel splits (cls_hrnet_v2_share.py:302-310)."""
+        self._run(
+            "refexec_hrnet_v2_share.npz", "v2_share",
+            num_channels=((8, 16), (8, 16, 32), (8, 16, 32, 64)),
+            block=("BASIC",) * 3,
+            head_block=("BOTTLENECK",) * 4,
+            head_channels=(8, 16, 32, 64),
+            head_proj=128,
+        )
+
+    def test_v3_end_to_end(self):
+        """v3: inverted-residual branches (bias convs, SE/4), last-branch
+        transitions, INVERTED head."""
+        self._run(
+            "refexec_hrnet_v3.npz", "v3",
+            num_channels=((8, 16), (8, 16, 32), (8, 16, 32, 64)),
+            block=("INVERTED",) * 3,
+            head_block=("INVERTED",) * 4,
+            head_channels=(16, 32, 64, 128),
+            head_proj=256,
+        )
+
+    def test_v4_end_to_end(self):
+        """v4 at the flagship conv32s2maxpools2inv32e6x1 stem."""
+        self._run(
+            "refexec_hrnet_v4.npz", "v4",
+            stem_spec="conv32s2maxpools2inv32e6x1",
+            num_channels=((8, 16), (8, 16, 32), (8, 16, 32, 64)),
+            block=("INVERTED",) * 3,
+            head_block=("INVERTED",) * 4,
+            head_channels=(16, 32, 64, 128),
+            head_proj=256,
+        )
+
+    def test_v4_wose_stem_end_to_end(self):
+        """The 'wose' stem whose SE is actually ON (cls_hrnet_v4.py:482
+        omits with_se=False — constructor default wins)."""
+        self._run(
+            "refexec_hrnet_v4_wose.npz", "v4",
+            stem_spec="conv32s2maxpools2inv32e2wosex1",
+            num_channels=((8, 16), (8, 16, 32), (8, 16, 32, 64)),
+            block=("INVERTED",) * 3,
+            head_block=("INVERTED",) * 4,
+            head_channels=(16, 32, 64, 128),
+            head_proj=256,
+        )
