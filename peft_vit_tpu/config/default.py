@@ -265,6 +265,11 @@ _C["AUG"] = CN(
         "TIMM_AUG": CN(
             {"USE_LOADER": False, "USE_TRANSFORM": False}, new_allowed=True
         ),
+        # timm-DataLoader RandomErasing block used by 3 shipped resnet
+        # experiment yamls (r50s3a-augdeit*); absent from the reference's
+        # own config (broken there) — accepted here and mapped onto the
+        # device-side RandomErasing (data/augment.py) when ENABLED
+        "TIMM_LOADER": CN({"ENABLED": False}, new_allowed=True),
     }
 )
 
@@ -346,6 +351,9 @@ _C["TEST"] = CN(
         "IMAGE_SIZE": [224, 224],
         "INTERPOLATION": 2,
         "MODEL_FILE": "",
+        # unwrap nested torch checkpoints (state_dict = ckpt[MODEL_KEY]):
+        # the SSL-eval yamls set 'teacher' (tools/finetune.py:213-214)
+        "MODEL_KEY": "",
         "REAL_LABELS": False,
         "VALID_LABELS": "",
         "METRIC": "accuracy",

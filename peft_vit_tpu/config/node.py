@@ -90,6 +90,7 @@ class CfgNode(dict):
         (reference few_shot config/default.py:228-241 semantics)."""
         with open(cfg_file) as f:
             loaded = yaml.safe_load(f) or {}
+        _normalize_reference_layout(loaded)
         self._merge_with_base(loaded, cfg_file)
 
     def _merge_with_base(self, loaded: Dict, cfg_file: str) -> None:
@@ -154,3 +155,25 @@ def _coerce(value: Any, old: Any) -> Any:
     ):
         return type(old)(parsed)
     return parsed
+
+
+def _normalize_reference_layout(loaded) -> None:
+    """Accept the reference's pre-refactor experiment-yaml layout.
+
+    11 shipped full_shot experiment yamls (the hrnet_v3/v4 and two
+    imagenet100/resnet families) nest the augmentation keys under
+    ``INPUT.AUG`` while the reference's shipped config defines a
+    top-level ``AUG`` (full_shot lib/config/default.py:85) and a strict
+    ``INPUT`` with only MEAN/STD (:80-82) — those yamls cannot merge on
+    the reference as released either (they predate its config refactor).
+    Their intent is unambiguous, so fold ``INPUT.AUG`` into ``AUG``
+    (explicit top-level AUG keys win) instead of failing."""
+    if not isinstance(loaded, dict):
+        return
+    inp = loaded.get("INPUT")
+    if isinstance(inp, dict) and isinstance(inp.get("AUG"), dict):
+        aug = loaded.setdefault("AUG", {})
+        for k, v in inp.pop("AUG").items():
+            aug.setdefault(k, v)
+        if not inp:
+            loaded.pop("INPUT")

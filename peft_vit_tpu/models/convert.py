@@ -578,13 +578,17 @@ def unstack_flat_blocks(
 
 
 def load_torch_checkpoint(
-    path: str, allow_pickle: bool = False
+    path: str, allow_pickle: bool = False, model_key: str = ""
 ) -> Dict[str, Any]:
     """torch.load a .pt/.pth checkpoint to a CPU state dict.
 
     Tries ``weights_only=True`` first (no arbitrary pickle execution from
     third-party files); pass ``allow_pickle=True`` to opt into the unsafe
     fallback for legacy checkpoints that store full module objects.
+
+    ``model_key`` (reference ``TEST.MODEL_KEY``, tools/finetune.py:
+    213-214): unwrap a nested checkpoint first — the SSL-eval yamls
+    store the tower under 'teacher'.
     """
     import torch
 
@@ -601,6 +605,10 @@ def load_torch_checkpoint(
             obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
+    if model_key and isinstance(obj, dict) and model_key in obj:
+        obj = obj[model_key]
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     if isinstance(obj, dict) and "model" in obj and isinstance(

@@ -298,7 +298,10 @@ def build_image_classifier(
 
     sd = None
     if cfg.MODEL.PRETRAINED:
-        sd = load_torch_checkpoint(cfg.MODEL.PRETRAINED)
+        sd = load_torch_checkpoint(
+            cfg.MODEL.PRETRAINED,
+            model_key=str(cfg.TEST.get("MODEL_KEY", "")),
+        )
         logger.info("=> loaded checkpoint %s", cfg.MODEL.PRETRAINED)
 
     encode_text = None

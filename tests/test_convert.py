@@ -247,3 +247,20 @@ class TestTimmConvert:
         assert not missing
         out = vit.apply({"params": params2}, x)
         assert out.shape == (1, w)
+
+
+def test_load_torch_checkpoint_model_key(tmp_path):
+    """TEST.MODEL_KEY unwraps nested checkpoints (the reference SSL-eval
+    yamls store the tower under 'teacher', tools/finetune.py:213-214)."""
+    import torch
+
+    from peft_vit_tpu.models.convert import load_torch_checkpoint
+
+    inner = {"w": torch.ones(2, 2)}
+    p = tmp_path / "ck.pth"
+    torch.save({"teacher": inner, "epoch": 3}, p)
+    sd = load_torch_checkpoint(str(p), model_key="teacher")
+    assert set(sd) == {"w"}
+    # without the key the nested dict comes back whole
+    sd2 = load_torch_checkpoint(str(p))
+    assert "teacher" in sd2

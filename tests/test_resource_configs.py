@@ -76,3 +76,64 @@ def test_classification_datasets_have_prompts():
         assert len(classes) == ncls, (name, len(classes), ncls)
         assert template_map(name)
     assert not missing, missing
+
+
+REF_EXPERIMENTS = "/root/reference/full_shot/main/experiments"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_EXPERIMENTS),
+    reason="reference checkout not available",
+)
+def test_all_reference_fullshot_experiment_yamls_merge():
+    """Every shipped full_shot experiment yaml (323 files) merges into
+    this config tree — including the 11 pre-refactor INPUT.AUG yamls the
+    reference's own shipped config cannot load (folded into AUG by
+    config/node.py:_normalize_reference_layout), AUG.TIMM_LOADER, and
+    TEST.MODEL_KEY.  Three shipped files are excluded: two whose BASE
+    points at a yaml absent from the release, and one amulet
+    job-submission spec (description/target keys), which is not a
+    training config and fails the reference's yacs as well."""
+    import glob
+
+    from peft_vit_tpu.config import get_default_config
+
+    broken = {
+        "imagenet/hrnet_v2/w18se-aug4-w5c300-bnwd0.yaml",  # missing BASE
+        "imagenet/vit/ablation/attn_drop/s16_attn_drop0.yaml",  # missing BASE
+        "imagenet/resnet/r50s3a-aug4-w5c300-bnwd0-2.yaml",  # amulet spec
+    }
+    files = sorted(
+        glob.glob(os.path.join(REF_EXPERIMENTS, "**/*.yaml"), recursive=True)
+    )
+    assert len(files) >= 300
+    failed = []
+    for f in files:
+        rel = f.split("experiments/")[-1]
+        cfg = get_default_config()
+        cfg.defrost()
+        try:
+            cfg.merge_from_file(f)
+        except Exception as e:
+            if rel not in broken:
+                failed.append((rel, str(e)[:80]))
+    assert not failed, failed[:8]
+
+
+def test_input_aug_normalization_folds_into_aug(tmp_path):
+    """INPUT.AUG keys land under AUG; explicit AUG keys win; INPUT.MEAN
+    survives untouched."""
+    from peft_vit_tpu.config import get_default_config
+
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "AUG:\n  GRAY_SCALE: 0.5\n"
+        "INPUT:\n  MEAN: [0.5, 0.5, 0.5]\n"
+        "  AUG:\n    GRAY_SCALE: 0.9\n    DROPBLOCK_BLOCK_SIZE: 5\n"
+    )
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.merge_from_file(str(y))
+    assert cfg.AUG.GRAY_SCALE == 0.5  # explicit AUG wins
+    assert cfg.AUG.DROPBLOCK_BLOCK_SIZE == 5
+    assert cfg.INPUT.MEAN == [0.5, 0.5, 0.5]
