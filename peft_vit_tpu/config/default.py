@@ -62,6 +62,12 @@ _C["TPU"] = CN(
         # extraction, zero-shot, cached prefix (v5e: 394 TOPS s8 vs
         # 197 TF/s bf16); training forwards are never quantized
         "INT8_INFERENCE": False,
+        # QLoRA-style training: the frozen tower's dense GEMMs run int8
+        # on the TRAINING forward with a full-precision custom-vjp
+        # backward (ops/int8.py).  Gradients of the PEFT params are
+        # straight-through exact; convergence-parity gated in
+        # tests/test_int8_fwd_train.py
+        "INT8_FWD_TRAIN": False,
         # patchify via dot_general over (p, q, c) instead of the strided
         # conv.  Measured (BASELINE.md round-3): ties the conv on the
         # LoRA train step and on int8 eval, loses ~5% on bf16 eval at

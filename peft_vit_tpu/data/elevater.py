@@ -195,6 +195,12 @@ def load_txt_split(
                     f"iris index line without a label: {line!r}"
                 )
             labels = [int(t) for t in parts[-1].split(",") if t != ""]
+            if not labels and not multilabel:
+                # diagnose at parse time (ADVICE r3): a bare ',' label
+                # field would otherwise IndexError far from the line
+                raise ValueError(
+                    f"iris index line with an empty label field: {line!r}"
+                )
             rows.append((" ".join(parts[:-1]), labels))
 
     class_names: List[str] = []

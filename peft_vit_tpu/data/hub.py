@@ -99,19 +99,32 @@ def missing_files(entry: dict, dest_root: str, splits=_SPLITS) -> List[str]:
     ]
 
 
-def _fetch(url: str, dest: str, opener=None) -> None:
-    """Stream one blob to ``dest`` atomically (tmp + rename)."""
+def _fetch(url: str, dest: str, opener=None, timeout: float = 60.0) -> None:
+    """Stream one blob to ``dest`` atomically (tmp + rename).
+
+    A failed/hung transfer never leaves a stale ``.part`` behind and the
+    socket carries a timeout (ADVICE r3)."""
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     tmp = dest + ".part"
-    open_fn = opener or urllib.request.urlopen
+    if opener is not None:
+        open_fn = opener
+    else:
+        open_fn = lambda u: urllib.request.urlopen(u, timeout=timeout)
     logger.info("=> downloading %s", url)
-    with open_fn(url) as r, open(tmp, "wb") as f:
-        while True:
-            chunk = r.read(1 << 20)
-            if not chunk:
-                break
-            f.write(chunk)
-    os.replace(tmp, dest)
+    try:
+        with open_fn(url) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dest)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def ensure_dataset(

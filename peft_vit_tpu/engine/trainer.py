@@ -233,6 +233,20 @@ class Trainer:
         # the model needs a 'dropblock' PRNG stream and the keep-prob
         # anneal position = global step / total steps
         use_dropblock = float(cfg.AUG.get("DROPBLOCK_KEEP_PROB", 1.0)) < 1.0
+        if use_dropblock:
+            # build-time guard (ADVICE r3): only the ResNet family
+            # accepts the keep-prob anneal `progress` — ImageClassifier
+            # forwards it positionally (models/classifier.py), which
+            # would silently land on a ViT's return_tokens slot
+            from ..models.resnet import ResNet
+
+            backbone = getattr(model, "backbone", None)
+            if not isinstance(backbone, ResNet):
+                raise ValueError(
+                    "AUG.DROPBLOCK_KEEP_PROB < 1 requires a ResNet "
+                    f"backbone (got {type(backbone).__name__}); DropBlock "
+                    "is a CNN regularizer (reference cls_resnet.py:409-419)"
+                )
         total_steps = max(
             1, int(cfg.TRAIN.END_EPOCH) * int(self.steps_per_epoch)
         )
@@ -268,15 +282,18 @@ class Trainer:
                     smoothing=smoothing,
                 )
             variables = {"params": params}
+            # DropBlock kwargs wired on EVERY apply path (ADVICE r3: a
+            # FROZEN_BN ResNet takes the non-BN branch below and still
+            # needs the 'dropblock' PRNG stream + anneal position)
+            kw = {}
+            if use_dropblock:
+                rng, db_rng = jax.random.split(rng)
+                kw = {
+                    "progress": step.astype(jnp.float32) / total_steps,
+                    "rngs": {"dropblock": db_rng},
+                }
             if has_bn:
                 variables["batch_stats"] = batch_stats
-                kw = {}
-                if use_dropblock:
-                    rng, db_rng = jax.random.split(rng)
-                    kw = {
-                        "progress": step.astype(jnp.float32) / total_steps,
-                        "rngs": {"dropblock": db_rng},
-                    }
                 logits, updates = model.apply(
                     variables, x, True, mutable=["batch_stats"], **kw
                 )
@@ -295,7 +312,7 @@ class Trainer:
                 )
                 new_stats = batch_stats
             else:
-                logits = model.apply(variables, x, True)
+                logits = model.apply(variables, x, True, **kw)
                 new_stats = batch_stats
             loss = criterion(logits.astype(jnp.float32), y)
             return loss, (logits, new_stats)

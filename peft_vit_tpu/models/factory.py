@@ -276,6 +276,11 @@ def build_image_classifier(
     # forwards — feature extraction / zero-shot / cached-backbone prefix
     # (ops/int8.py); training forwards are untouched
     int8 = bool(cfg.TPU.get("INT8_INFERENCE", False))
+    # TPU.INT8_FWD_TRAIN: QLoRA-style training — the frozen tower's dense
+    # GEMMs run int8 on the forward with a full-precision custom-vjp
+    # backward (ops/int8.py int8_matmul_bf16_bwd); PEFT deltas, head, and
+    # every gradient stay bf16/fp32
+    int8_train = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
     patch_gemm = bool(cfg.TPU.get("PATCH_EMBED_GEMM", False))
     act_sharding = None
     if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
@@ -392,6 +397,7 @@ def build_image_classifier(
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
                 int8=int8,
+                int8_train=int8_train,
                 patch_gemm=patch_gemm,
                 act_sharding=act_sharding,
                 attn_batch_chunk=attn_batch_chunk,
@@ -552,6 +558,7 @@ def build_image_classifier(
                 softmax_fp32=softmax_fp32,
                 ln_fp32=ln_fp32,
                 int8=int8,
+                int8_train=int8_train,
                 patch_gemm=patch_gemm,
                 act_sharding=act_sharding,
                 attn_batch_chunk=attn_batch_chunk,

@@ -110,14 +110,21 @@ class Mlp(nn.Module):
     hidden: int
     act: str = "gelu"
     int8: bool = False
+    int8_bwd: bool = False  # differentiable int8 fwd (TPU.INT8_FWD_TRAIN)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import functools
+
         from ..ops.int8 import Int8Dense
 
-        dense = Int8Dense if self.int8 else nn.Dense
+        dense = (
+            functools.partial(Int8Dense, train_bwd=self.int8_bwd)
+            if self.int8
+            else nn.Dense
+        )
         x = dense(
             self.hidden,
             name="c_fc",
@@ -308,12 +315,15 @@ class MultiHeadAttention(nn.Module):
     use_flash: bool = True
     softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
     int8: bool = False  # int8 MXU GEMMs for in/out_proj (no-grad only)
+    int8_bwd: bool = False  # differentiable int8 fwd (TPU.INT8_FWD_TRAIN)
     attn_batch_chunk: int = 0  # lax.map attention slices (VMEM-resident)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import functools
+
         from ..ops.int8 import Int8Dense
 
         b, n, d = x.shape
@@ -321,7 +331,11 @@ class MultiHeadAttention(nn.Module):
         hd = d // h
         spec = self.spec
         scale = hd**-0.5
-        dense = Int8Dense if self.int8 else nn.Dense
+        dense = (
+            functools.partial(Int8Dense, train_bwd=self.int8_bwd)
+            if self.int8
+            else nn.Dense
+        )
 
         qkv = dense(
             3 * d,
@@ -558,6 +572,11 @@ class Block(nn.Module):
     use_flash: bool = True
     softmax_fp32: bool = True
     int8: bool = False  # int8 GEMMs on no-grad forwards (TPU.INT8_INFERENCE)
+    # TPU.INT8_FWD_TRAIN: int8 GEMMs on TRAINING forwards too, with a
+    # full-precision custom-vjp backward (QLoRA recipe; ops/int8.py).
+    # Targets the frozen tower's in/out_proj + MLP GEMMs — the PEFT
+    # deltas and head keep dense bf16 math either way.
+    int8_train: bool = False
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK
     drop_path: float = 0.0
     ln_fp32: bool = True
@@ -569,9 +588,12 @@ class Block(nn.Module):
         self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         spec = self.spec
-        # int8 only on deterministic (no-grad) forwards: jnp.round has a
-        # zero gradient, so the training path must never route through it
-        int8 = self.int8 and deterministic
+        # plain int8 only on deterministic (no-grad) forwards: jnp.round
+        # has a zero gradient, so the training path must never route
+        # through it.  int8_train opts the training forward in via the
+        # custom-vjp op whose backward is full-precision.
+        int8 = (self.int8 and deterministic) or self.int8_train
+        int8_bwd = self.int8_train and not (self.int8 and deterministic)
         attn_out = MultiHeadAttention(
             self.width,
             self.heads,
@@ -582,6 +604,7 @@ class Block(nn.Module):
             use_flash=self.use_flash,
             softmax_fp32=self.softmax_fp32,
             int8=int8,
+            int8_bwd=int8_bwd,
             attn_batch_chunk=self.attn_batch_chunk,
             name="attn",
             dtype=self.dtype,
@@ -600,6 +623,7 @@ class Block(nn.Module):
             int(self.width * self.mlp_ratio),
             act=self.act,
             int8=int8,
+            int8_bwd=int8_bwd,
             name="mlp",
             dtype=self.dtype,
             param_dtype=self.param_dtype,

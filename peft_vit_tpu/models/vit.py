@@ -61,6 +61,7 @@ class _BlockCell(nn.Module):
     remat: bool
     ln_fp32: bool
     int8: bool
+    int8_train: bool
     attn_batch_chunk: int
     dtype: Dtype
     param_dtype: Dtype
@@ -82,6 +83,7 @@ class _BlockCell(nn.Module):
             use_flash=self.use_flash,
             softmax_fp32=self.softmax_fp32,
             int8=self.int8,
+            int8_train=self.int8_train,
             attn_batch_chunk=self.attn_batch_chunk,
             drop_path=0.0,
             ln_fp32=self.ln_fp32,
@@ -164,6 +166,9 @@ class VisionTransformer(nn.Module):
     ln_fp32: bool = True
     scan_layers: bool = False
     int8: bool = False  # int8 GEMMs on deterministic (no-grad) forwards
+    # TPU.INT8_FWD_TRAIN: int8 GEMMs on training forwards with a
+    # full-precision custom-vjp backward (QLoRA recipe, ops/int8.py)
+    int8_train: bool = False
     patch_gemm: bool = False  # TPU.PATCH_EMBED_GEMM: patchify via MXU GEMM
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK: lax.map attention
     # TPU.SEQUENCE_PARALLEL: a PartitionSpec for the (B, N, C) inter-block
@@ -358,6 +363,7 @@ class VisionTransformer(nn.Module):
                 self.remat,
                 self.ln_fp32,
                 self.int8,
+                self.int8_train,
                 self.attn_batch_chunk,
                 self.dtype,
                 self.param_dtype,
@@ -402,6 +408,7 @@ class VisionTransformer(nn.Module):
                 use_flash=self.use_flash,
                 softmax_fp32=self.softmax_fp32,
                 int8=self.int8,
+                int8_train=self.int8_train,
                 attn_batch_chunk=self.attn_batch_chunk,
                 drop_path=float(dpr[i]),
                 ln_fp32=self.ln_fp32,

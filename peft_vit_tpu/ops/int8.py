@@ -65,15 +65,61 @@ def int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+@jax.custom_vjp
+def int8_matmul_bf16_bwd(x: jax.Array, w: jax.Array) -> jax.Array:
+    """int8 MXU forward, full-precision backward (the QLoRA recipe).
+
+    Forward is exactly :func:`int8_matmul` (s8xs8->s32 on the MXU);
+    backward computes dx = g @ w^T and dw = x^T @ g with the ORIGINAL
+    (bf16/fp32) weights and activations — ``jnp.round`` never enters the
+    gradient, so PEFT deltas downstream/upstream of this matmul train
+    exactly as if the layer were dense (straight-through estimator).
+
+    Intended for the FROZEN tower's GEMMs under ``TPU.INT8_FWD_TRAIN``:
+    w is a frozen param whose cotangent is never demanded, so XLA
+    dead-code-eliminates the dw GEMM — the backward costs the same as
+    the bf16 fast path's (the 2.02x-forward FLOP ratio is preserved)
+    while the forward's GEMMs run on the 394-TOPS int8 MXU path.
+    """
+    return int8_matmul(x, w)
+
+
+def _i8bwd_fwd(x, w):
+    return int8_matmul(x, w), (x, w)
+
+
+def _i8bwd_bwd(res, g):
+    x, w = res
+    # dx: (..., N) @ (K, N)^T -> (..., K)
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    ).astype(x.dtype)
+    # dw: contract every batch dim of x (..., K) with g (..., N) -> (K, N).
+    # Dead code (DCE'd) whenever w is frozen — kept for correctness when a
+    # trainable dense is routed through this op.
+    bdims = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((bdims, bdims), ((), ()))
+    ).astype(w.dtype)
+    return dx, dw
+
+
+int8_matmul_bf16_bwd.defvjp(_i8bwd_fwd, _i8bwd_bwd)
+
+
 class Int8Dense(nn.Module):
     """Drop-in for ``nn.Dense`` with the int8 inference matmul.
 
     Same param names/shapes ("kernel", "bias") — checkpoints, PEFT masks,
     and converters are oblivious to which class instantiated the layer.
+
+    ``train_bwd=True`` selects :func:`int8_matmul_bf16_bwd` (differentiable
+    int8 forward with full-precision backward) for ``TPU.INT8_FWD_TRAIN``.
     """
 
     features: int
     use_bias: bool = True
+    train_bwd: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
@@ -87,7 +133,8 @@ class Int8Dense(nn.Module):
             (x.shape[-1], self.features),
             self.param_dtype,
         )
-        y = int8_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        mm = int8_matmul_bf16_bwd if self.train_bwd else int8_matmul
+        y = mm(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", self.bias_init, (self.features,), self.param_dtype

@@ -262,27 +262,6 @@ def gen_vit_variants():
     )
 
 
-if __name__ == "__main__":
-    gen_clip_model()
-    gen_lora_clip_model()
-    gen_cls_vit()
-    gen_vit_variants()
-    gen_rexnet()
-    gen_resnet()
-    gen_resnet_d()
-    gen_swin()
-    gen_vit_conv()
-    gen_clip_rn()
-    gen_transformer_probe()
-    gen_hrnet()
-    gen_ssl_swin()
-    gen_hrnet_v2()
-    gen_hrnet_v2_share()
-    gen_hrnet_v3()
-    gen_hrnet_v4()
-    gen_hrnet_v4_wose()
-
-
 def gen_rexnet(seed=51, wm=0.5, dm=0.5, image=64, classes=5):
     """cls_rexnet.py ReXNetV1 executed whole (:123-185): pins the exact
     channel schedule (ceil depths, stem/inplanes DIVIDED by width_mult
@@ -787,3 +766,24 @@ def gen_hrnet_v4_wose(seed=65):
     despite the name, is ON (constructor default, cls_hrnet_v4.py:482)."""
     gen_hrnet_v4(seed, "conv32s2maxpools2inv32e2wosex1",
                  "refexec_hrnet_v4_wose.npz")
+
+
+if __name__ == "__main__":
+    gen_clip_model()
+    gen_lora_clip_model()
+    gen_cls_vit()
+    gen_vit_variants()
+    gen_rexnet()
+    gen_resnet()
+    gen_resnet_d()
+    gen_swin()
+    gen_vit_conv()
+    gen_clip_rn()
+    gen_transformer_probe()
+    gen_hrnet()
+    gen_ssl_swin()
+    gen_hrnet_v2()
+    gen_hrnet_v2_share()
+    gen_hrnet_v3()
+    gen_hrnet_v4()
+    gen_hrnet_v4_wose()

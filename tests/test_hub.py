@@ -64,7 +64,7 @@ class TestEnsureDataset:
         """opener serving blob URLs out of a local directory."""
         base = f"{VISION_DATASET_STORAGE}/{entry['root_folder']}/"
 
-        def opener(url):
+        def opener(url, timeout=None):
             assert url.startswith(base), url
             path = os.path.join(
                 remote_root, entry["root_folder"], url[len(base):]

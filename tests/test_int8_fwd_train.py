@@ -1,0 +1,209 @@
+"""QLoRA-style int8-forward / full-precision-backward training
+(TPU.INT8_FWD_TRAIN; VERDICT r3 next-round #1).
+
+The frozen tower's dense GEMMs run through the int8 MXU path on the
+TRAINING forward, with a custom-vjp backward that uses the original
+bf16/fp32 weights and activations (ops/int8.py int8_matmul_bf16_bwd) —
+exactly QLoRA's recipe (quantized base weights, full-precision
+adapter gradients).  Acceptance here (the offline convergence gate):
+
+* op level: the quantized forward matches int8_matmul bit-for-bit and
+  the backward matches the DENSE matmul's dx/dw exactly;
+* model level: LoRA gradients under the quantized forward stay within
+  cosine 0.99 of the dense-path gradients;
+* convergence: a synthetic few-shot task trained both ways reaches the
+  same predictions and a loss trajectory within tolerance.
+
+The throughput claim is measured on the real chip (BASELINE.md round 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peft_vit_tpu.models import ImageClassifier, VisionTransformer
+from peft_vit_tpu.ops.int8 import int8_matmul, int8_matmul_bf16_bwd
+from peft_vit_tpu.peft import PEFTSpec, build_mask, merge_params, split_params
+
+
+def cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+class TestOp:
+    def test_forward_matches_int8_matmul(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 7, 32).astype(np.float32))
+        w = jnp.asarray(rng.randn(32, 16).astype(np.float32) * 0.05)
+        np.testing.assert_array_equal(
+            np.asarray(int8_matmul_bf16_bwd(x, w)),
+            np.asarray(int8_matmul(x, w)),
+        )
+
+    def test_backward_is_dense(self):
+        """dx and dw equal the DENSE matmul's cotangents (the bf16-weight
+        backward), not the quantized function's (which would be ~zero
+        through jnp.round)."""
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(5, 12).astype(np.float32))
+        w = jnp.asarray(rng.randn(12, 8).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.randn(5, 8).astype(np.float32))
+
+        _, vjp = jax.vjp(int8_matmul_bf16_bwd, x, w)
+        dx, dw = vjp(g)
+        _, dense_vjp = jax.vjp(lambda x, w: x @ w, x, w)
+        dx_d, dw_d = dense_vjp(g)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_d), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_d), rtol=1e-6)
+
+    def test_grad_flows_batched(self):
+        x = jnp.ones((2, 3, 4))
+        w = jnp.full((4, 6), 0.25)
+        dx = jax.grad(lambda x: jnp.sum(int8_matmul_bf16_bwd(x, w)))(x)
+        assert np.isfinite(np.asarray(dx)).all()
+        # sum over output axis of w rows
+        np.testing.assert_allclose(np.asarray(dx), 6 * 0.25, rtol=1e-6)
+
+
+def _model(int8_train, num_classes=5):
+    vit = VisionTransformer(
+        image_size=16,
+        patch_size=8,
+        width=64,
+        layers=2,
+        heads=2,
+        style="clip",
+        output_dim=32,
+        spec=PEFTSpec(
+            method="lora",
+            attn_delta="lora",
+            lora_rank=4,
+            lora_alpha=128.0,
+            lora_post_scale_q=True,
+        ),
+        use_flash=False,
+        int8_train=int8_train,
+    )
+    return ImageClassifier(backbone=vit, num_classes=num_classes)
+
+
+def _loss_fn(model):
+    def f(trainable, frozen, x, y):
+        p = merge_params(trainable, frozen)
+        logits = model.apply({"params": p}, x, True)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=-1))
+
+    return f
+
+
+class TestModel:
+    def _setup(self):
+        x0 = jnp.zeros((1, 16, 16, 3))
+        params = _model(False).init(jax.random.PRNGKey(0), x0)["params"]
+        mask = build_mask(params, "lora", num_layers=2)
+        trainable, frozen = split_params(params, mask)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(8, 16, 16, 3), jnp.float32)
+        y = jnp.asarray(rng.randint(0, 5, 8))
+        return trainable, frozen, x, y
+
+    def test_lora_grads_close_to_dense(self):
+        trainable, frozen, x, y = self._setup()
+        l_fp, g_fp = jax.value_and_grad(_loss_fn(_model(False)))(
+            trainable, frozen, x, y
+        )
+        l_q, g_q = jax.value_and_grad(_loss_fn(_model(True)))(
+            trainable, frozen, x, y
+        )
+        assert abs(float(l_fp) - float(l_q)) < 0.05 * abs(float(l_fp)) + 1e-3
+        flat_fp = jax.tree_util.tree_leaves_with_path(g_fp)
+        flat_q = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_q)
+        )
+        checked = 0
+        for k, v in flat_fp:
+            ks = jax.tree_util.keystr(k)
+            a = np.asarray(v)
+            if np.linalg.norm(a) < 1e-9:  # zero-init B matrices step 0
+                continue
+            assert cos(a, flat_q[ks]) > 0.99, (ks, cos(a, flat_q[ks]))
+            checked += 1
+        assert checked >= 2
+
+    def test_convergence_parity(self):
+        """Train 40 SGD steps both ways on a separable synthetic task:
+        same final accuracy, near-identical predictions, and a loss
+        trajectory within tolerance.
+
+        NB this 64-wide tower with RANDOM frozen weights is the
+        quantization worst case (per-token absmax over 64 lanes; the real
+        768-wide pretrained tower quantizes far tighter — feature cosine
+        0.999769 measured on chip, BASELINE.md round 3), so tolerances
+        here are looser than the flagship gate in BASELINE.md round 4."""
+        from peft_vit_tpu.engine import init_cell_state, sgd_update
+
+        trainable, frozen, _, _ = self._setup()
+        # separable task: class-colored blobs
+        rng = np.random.RandomState(2)
+        y_np = np.tile(np.arange(5), 4)
+        x = rng.randn(20, 16, 16, 3).astype(np.float32) * 0.3
+        x += np.linspace(-1, 1, 5)[y_np][:, None, None, None]
+        x, y = jnp.asarray(x), jnp.asarray(y_np)
+
+        def train(int8):
+            model = _model(int8)
+            grad_fn = jax.value_and_grad(_loss_fn(model))
+
+            @jax.jit
+            def step(state):
+                loss, grads = grad_fn(state.trainable, frozen, x, y)
+                return sgd_update(grads, state, 3e-3, 1e-4), loss
+
+            state = init_cell_state(jax.tree.map(jnp.copy, trainable))
+            losses = []
+            for _ in range(40):
+                state, loss = step(state)
+                losses.append(float(loss))
+            logits = model.apply(
+                {"params": merge_params(state.trainable, frozen)}, x, False
+            )
+            return np.asarray(losses), np.argmax(np.asarray(logits), -1)
+
+        losses_fp, pred_fp = train(False)
+        losses_q, pred_q = train(True)
+        assert np.isfinite(losses_q).all()
+        # same learning dynamics
+        np.testing.assert_allclose(losses_q, losses_fp, rtol=0.25, atol=0.02)
+        # same final behavior: accuracy equal within one sample
+        acc_fp = (pred_fp == y_np).mean()
+        acc_q = (pred_q == y_np).mean()
+        assert abs(acc_fp - acc_q) <= 0.05, (acc_fp, acc_q)
+        assert (pred_fp == pred_q).mean() >= 0.85
+        assert losses_q[-1] < losses_q[0] * 0.5  # it actually learns
+        assert losses_fp[-1] < losses_fp[0] * 0.5
+
+    def test_factory_flag(self):
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.models.factory import build_image_classifier
+        from peft_vit_tpu.peft import spec_from_config
+
+        cfg = get_default_config()
+        cfg.TPU.INT8_FWD_TRAIN = True
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        cfg.MODEL.NAME = "clip_tiny"
+        cfg.MODEL.SPEC.EMBED_DIM = 32
+        cfg.MODEL.SPEC.VISION.PATCH_SIZE = 8
+        cfg.MODEL.SPEC.VISION.WIDTH = 32
+        cfg.MODEL.SPEC.VISION.LAYERS = 2
+        cfg.MODEL.SPEC.VISION.HEADS = 2
+        model, variables, _ = build_image_classifier(
+            cfg, spec_from_config(cfg), 5
+        )
+        assert model.backbone.int8_train is True
+        x = jnp.zeros((2, 16, 16, 3))
+        out = model.apply({"params": variables["params"]}, x, True)
+        assert np.isfinite(np.asarray(out)).all()
