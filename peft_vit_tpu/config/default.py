@@ -93,6 +93,18 @@ _C["TPU"] = CN(
     new_allowed=True,
 )
 
+# Sweep-engine compatibility switches.
+_C["SWEEP"] = CN(
+    {
+        # True reproduces the reference's wd-refinement loop verbatim,
+        # INCLUDING its left-wd bug (adapter_tuning_clip.py:205: both
+        # refine probes train with the LEFT candidate's wd) — use when
+        # reproducing reference-reported hyperparameters exactly.
+        # False (default): each candidate trains with its own wd.
+        "REF_COMPAT": False,
+    }
+)
+
 # kept so reference YAMLs with a CUDNN group still parse
 _C["CUDNN"] = CN(
     {"BENCHMARK": True, "DETERMINISTIC": False, "ENABLED": True}
@@ -152,6 +164,10 @@ _C["PEFT"] = CN(
         "LORA_ALPHA": 128.0,
         "LORA_TARGETS": ["q", "v"],
         "LORA_POST_SCALE_Q": True,  # parity quirk: lora_model.py:720-734
+        # parity quirk #2 (lora_model.py:730-731): flat (N,B,C)->(B*H,N,hd)
+        # delta reshape — scrambles batch/sequence unless B=H=1; True
+        # replays reference LoRA training trajectories bit-for-bit
+        "LORA_REF_RESHAPE": False,
         # bottleneck adapter (reference adapter_model.py:204-296)
         "ADAPTER_DIM": 64,
         "ADAPTER_ACT": "relu",

@@ -328,6 +328,36 @@ class SweepEngine:
 
         probe(init_idx)
         peak = max(scores, key=scores.get)
+        if bool(self.cfg.SWEEP.REF_COMPAT):
+            # Reproduce the reference's refine loop VERBATIM, including
+            # its left-wd bug (adapter_tuning_clip.py:205: every probe
+            # trains with the LEFT candidate's wd while the score is
+            # attributed to the probed index) and its no-cache re-probes.
+            # Proven by execution: refexec_engine.npz sweep_b fixture;
+            # default False = each candidate trains with its own wd.
+            peak_score = scores[peak]
+            span = 8
+            while span > 0:
+                left = max(peak - span, 0)
+                right = min(peak + span, len(grid) - 1)
+                for idx in (i for i in (left, right) if i != peak):
+                    acc = float(
+                        self.train_cells(
+                            [lr], [float(grid[left])], task, end_epoch
+                        )[0]
+                    )
+                    logger.info(
+                        "=> lr %g wd %g (ref-compat, idx %d): score %.3f",
+                        lr, grid[left], idx, acc,
+                    )
+                    if acc > peak_score:
+                        peak, peak_score = idx, acc
+                span //= 2
+            logger.info(
+                "=> Learning rate %g: best l2 lambda %g (score %.3f)",
+                lr, grid[peak], peak_score,
+            )
+            return float(grid[peak]), peak_score
         span = 8
         while span > 0:
             left = max(peak - span, 0)

@@ -445,13 +445,31 @@ class MultiHeadAttention(nn.Module):
             attn_scale = 1.0
         else:
             attn_scale = scale
-        if "q" in deltas:
-            q = q + deltas["q"]
-        if "k" in deltas:
-            k = k + deltas["k"]
-        if "v" in deltas:
-            v = v + deltas["v"]
+        ref_reshape = (
+            spec.attn_delta == "lora" and spec.lora_ref_reshape
+        )
+        if not ref_reshape:
+            if "q" in deltas:
+                q = q + deltas["q"]
+            if "k" in deltas:
+                k = k + deltas["k"]
+            if "v" in deltas:
+                v = v + deltas["v"]
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+        if ref_reshape:
+            # Executed-reference layout (lora_model.py:730-731): the
+            # seq-first (N, B, C) delta is reshaped FLAT into
+            # (B*H, N, hd) — scrambling batch/sequence/head unless
+            # B = H = 1.  Reproduced verbatim for trajectory parity.
+            def _ref_scramble(dl: jax.Array) -> jax.Array:
+                return jnp.transpose(dl, (1, 0, 2)).reshape(b, h, n, hd)
+
+            if "q" in deltas:
+                qh = qh + _ref_scramble(deltas["q"])
+            if "k" in deltas:
+                kh = kh + _ref_scramble(deltas["k"])
+            if "v" in deltas:
+                vh = vh + _ref_scramble(deltas["v"])
 
         if spec.lepe and spec.lepe_ref_qkv:
             # Executed-reference LePE layout (LePE.py:120-123): the

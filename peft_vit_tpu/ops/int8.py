@@ -107,6 +107,158 @@ def _i8bwd_bwd(res, g):
 int8_matmul_bf16_bwd.defvjp(_i8bwd_fwd, _i8bwd_bwd)
 
 
+def _prequant_kernel(x_ref, w_ref, sw_ref, out_ref):
+    """Fused activation-quantize + s8xs8 MXU matmul + rescale.
+
+    One VMEM round-trip: the bf16 activation block is quantized in
+    registers (per-row absmax over the FULL K, which the block carries),
+    fed to the MXU as int8, and the int32 accumulator is rescaled and
+    written back bf16 — no materialized x_i8 / scale / int32 tensors in
+    HBM.  This is the loop-fusion overhead XLA cannot fuse away (the
+    round/convert chain sat at ~3 TF/s as standalone fusions, BASELINE.md
+    round 4).
+    """
+    x = x_ref[:].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    x_i8 = jnp.round(x / scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8,
+        w_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (
+        acc.astype(jnp.float32) * scale * sw_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def _prequant_matmul_pallas(
+    x2d: jax.Array, w_i8: jax.Array, s_w: jax.Array, out_dtype
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+
+    m, k = x2d.shape
+    n = w_i8.shape[1]
+    bm = min(512, max(8, m))
+    bn = min(512, n)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        x2d = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        _prequant_kernel,
+        grid=(m_pad // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+    )(x2d, w_i8, s_w)
+    return out[:m] if m_pad != m else out
+
+
+def _prequant_forward(x, w_i8, s_w, use_pallas=None):
+    """Quantized forward shared by the jnp and Pallas paths."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and x.shape[-1] % 128 == 0
+            and w_i8.shape[1] % 128 == 0
+        )
+    if use_pallas:
+        x2d = x.reshape(-1, x.shape[-1])
+        out = _prequant_matmul_pallas(x2d, w_i8, s_w, x.dtype)
+        return out.reshape(*x.shape[:-1], w_i8.shape[1])
+    x_i8, s_x = quantize_rows(x)
+    acc = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * s_x * s_w.reshape(
+        (1,) * (x.ndim - 1) + (-1,)
+    )
+    return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def int8_prequant_matmul(
+    x: jax.Array, w: jax.Array, w_i8: jax.Array, s_w: jax.Array
+) -> jax.Array:
+    """Like :func:`int8_matmul_bf16_bwd` but with the weight quantized
+    AHEAD of time (``w_i8``, ``s_w`` from :func:`quantize_cols`).
+
+    The per-call weight quantization in ``int8_matmul`` costs an O(K*N)
+    read+round+write of the kernel per training step per layer — at the
+    flagship's B=16 (M=3152) that is comparable to the int8 GEMM itself.
+    A frozen tower's weights never change inside a dispatch, so the
+    quantized tensors are computed ONCE per dispatch (outside the
+    ``lax.scan`` over chained steps, engine helper
+    :func:`quantize_frozen_tree`) and the step consumes them read-only.
+    ``w`` (the original bf16/fp32 kernel) is only touched by the
+    backward: dx = g @ w^T, exactly the dense cotangent.
+
+    On TPU the forward runs as ONE Pallas kernel (quantize + MXU dot +
+    rescale in VMEM, `_prequant_kernel`); elsewhere, as jnp ops.
+    """
+    return _prequant_forward(x, w_i8, s_w)
+
+
+def _i8pq_fwd(x, w, w_i8, s_w):
+    return int8_prequant_matmul(x, w, w_i8, s_w), (x, w)
+
+
+def _i8pq_bwd(res, g):
+    import numpy as np
+
+    x, w = res
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    ).astype(x.dtype)
+    bdims = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((bdims, bdims), ((), ()))
+    ).astype(w.dtype)
+    # int8 primals take float0 cotangents; the scale is a dead end too
+    d_w_i8 = np.zeros((w.shape[0], w.shape[1]), jax.dtypes.float0)
+    return dx, dw, d_w_i8, jnp.zeros((1, w.shape[1]), jnp.float32)
+
+
+int8_prequant_matmul.defvjp(_i8pq_fwd, _i8pq_bwd)
+
+
+#: module names whose "kernel" is routed through Int8Dense by the models
+#: (the frozen tower's GEMMs: packed qkv + out proj + the MLP pair)
+INT8_TARGET_MODULES = ("in_proj", "out_proj", "c_fc", "c_proj")
+
+
+def quantize_frozen_tree(frozen, targets=INT8_TARGET_MODULES):
+    """Pre-quantize a frozen param tree's Int8Dense kernels.
+
+    Returns a flax variable collection (pass as ``{"qkernel": ...}`` to
+    ``apply``) mirroring the module paths: every ``.../<target>/kernel``
+    leaf becomes ``.../<target>/{w_i8, s_w}``.  None holes (trainable
+    slots from ``split_params``) and non-target leaves are skipped, so
+    the tree works for any PEFT mask.  Call once per dispatch, outside
+    the chained-step scan.
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(frozen)
+    out = {}
+    for path, leaf in flat.items():
+        if leaf is None:
+            continue
+        if len(path) >= 2 and path[-1] == "kernel" and path[-2] in targets:
+            w_i8, s_w = quantize_cols(leaf)
+            out[path[:-1] + ("w_i8",)] = w_i8
+            out[path[:-1] + ("s_w",)] = s_w
+    return traverse_util.unflatten_dict(out)
+
+
 class Int8Dense(nn.Module):
     """Drop-in for ``nn.Dense`` with the int8 inference matmul.
 
@@ -133,8 +285,17 @@ class Int8Dense(nn.Module):
             (x.shape[-1], self.features),
             self.param_dtype,
         )
-        mm = int8_matmul_bf16_bwd if self.train_bwd else int8_matmul
-        y = mm(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.train_bwd and self.has_variable("qkernel", "w_i8"):
+            # pre-quantized weights supplied per dispatch
+            # (quantize_frozen_tree) — skip the per-call weight quantize
+            w_i8 = self.get_variable("qkernel", "w_i8")
+            s_w = self.get_variable("qkernel", "s_w")
+            y = int8_prequant_matmul(
+                x.astype(self.dtype), kernel.astype(self.dtype), w_i8, s_w
+            )
+        else:
+            mm = int8_matmul_bf16_bwd if self.train_bwd else int8_matmul
+            y = mm(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", self.bias_init, (self.features,), self.param_dtype

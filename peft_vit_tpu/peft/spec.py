@@ -52,6 +52,15 @@ class PEFTSpec:
     # effective extra sqrt(d) gain.  True reproduces that; False applies the
     # textbook pre-scale delta (used by the supervised-ViT methods).
     lora_post_scale_q: bool = False
+    # parity quirk #2: the reference reshapes the (N, B, C) seq-first
+    # delta STRAIGHT into (B*H, N, hd) (lora_model.py:730-731) — a flat
+    # reinterpretation that is the identity only at B = H = 1; at the
+    # batch sizes/heads of every real reference training run the q/v
+    # deltas are scrambled across batch and sequence.  True reproduces
+    # the executed layout bit-for-bit (needed to replay reference LoRA
+    # training trajectories); False (default) applies the clean per-head
+    # mapping.
+    lora_ref_reshape: bool = False
     # LoRA-MoE gating (dormant in the reference: lora_moe=0 hardcoded at
     # lora_model.py:463; fully functional here)
     lora_moe: bool = False
@@ -181,6 +190,7 @@ def spec_from_config(cfg) -> PEFTSpec:
         lora_alpha=float(p.LORA_ALPHA),
         lora_targets=tuple(p.LORA_TARGETS),
         lora_post_scale_q=bool(p.LORA_POST_SCALE_Q),
+        lora_ref_reshape=bool(p.get("LORA_REF_RESHAPE", False)),
         phm_dim=int(p.PHM_DIM),
         phm_rank=int(p.PHM_RANK),
         adapter_dim=int(p.ADAPTER_DIM),

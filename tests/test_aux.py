@@ -126,6 +126,25 @@ class TestCaption:
         with_stem = meteor(["cats running"], [["cat runs"]])
         assert with_stem > 0.0
 
+    def test_meteor_hand_computed_fixture(self):
+        """Hand-computed pin of OUR METEOR parameters (PARITY.md
+        documented deviation: this is Lavie–Agarwal 2007, NOT the
+        reference's pycocoevalcap METEOR-1.5 jar with paraphrase tables).
+
+        cand 'the cat sat' vs ref 'the cat ran fast':
+        m=2 (the, cat), P=2/3, R=2/4;
+        F = P*R / (0.9 P + 0.1 R) = (1/3) / (0.6 + 0.05) = 0.5128205...;
+        one contiguous chunk -> penalty = 0.5 * (1/2)^3 = 0.0625;
+        score = F * 0.9375 = 0.48076923... -> 48.076923 in percent."""
+        from peft_vit_tpu.engine.caption_metrics import meteor
+
+        got = meteor(["the cat sat"], [["the cat ran fast"]])
+        p, r = 2 / 3, 2 / 4
+        f = p * r / (0.9 * p + 0.1 * r)
+        want = 100.0 * f * (1.0 - 0.5 * (1 / 2) ** 3)
+        assert got == pytest.approx(want, abs=1e-9)
+        assert got == pytest.approx(48.07692307692308, abs=1e-6)
+
     def test_metric_selection_matches_reference(self):
         """TEST.METRIC comma-selection semantics
         (image_caption_evaluator.py:21-29)."""

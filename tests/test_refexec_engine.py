@@ -363,6 +363,20 @@ class TestSweepRefexec:
         assert _nearest(best_wd) == 43
         assert best_score == pytest.approx(100.0)
 
+    def test_ref_compat_reproduces_executed_reference(self):
+        """SWEEP.REF_COMPAT=True (VERDICT r3 #8): our sweep replays the
+        reference's refinement — left-wd training for both probes, no
+        cell cache — and lands on the executed fixture's EXACT winner
+        (idx 40, score 97) with the identical trained-wd call sequence."""
+        eng, calls = self._engine(lambda lr, i: score_fn_b(i))
+        eng.cfg.SWEEP.REF_COMPAT = True
+        best_wd, best_score = eng.sweep_wd(1e-3, task=None, end_epoch=5)
+        assert _nearest(best_wd) == _nearest(float(G["sweep_b_best_wd"]))
+        assert best_score == pytest.approx(float(G["sweep_b_best_score"]))
+        np.testing.assert_allclose(
+            calls, G["sweep_b_calls"], rtol=1e-12
+        )
+
     def test_full_lr_wd_search(self):
         eng, _ = self._engine(score_fn_lr)
         best_lr, best_wd, _ = eng.sweep(task=None, end_epoch=5)
