@@ -12,6 +12,14 @@ which every named lever was built and measured negative.  3,000 img/s
 implies 213 TF/s sustained at 71 GFLOP/img — above nominal peak; the
 headline number is this part's measured limit for exact bf16 compute.
 
+Round-4 headline configuration: TPU.INT8_FWD_TRAIN — the QLoRA-style
+train step (frozen tower's GEMMs int8 on the forward via per-dispatch
+pre-quantized weights, full-precision custom-vjp backward; ops/int8.py,
+convergence-gated in tests/test_int8_fwd_train.py).  Measured 1,962
+img/s at B=16 vs 1,839 bf16 (+6.7%); the int8 GEMMs run at 300-325
+TF/s but carry only ~20% of the step after XLA's unfused quantize
+epilogues — per-fusion accounting in BASELINE.md round 4.
+
 Configuration (all measured on v5e, see BASELINE.md):
 * bf16 fast path: attention scores (TPU.BF16_SOFTMAX) and LayerNorm
   statistics (TPU.BF16_LN) in bf16 — 1573 -> 1851 img/s at B=16.
@@ -57,8 +65,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_S = 3000.0
 
 
-def make_step(model, grad_fn, k_chain: int):
+def make_step(model, grad_fn, k_chain: int, int8: bool = False):
     from peft_vit_tpu.engine import sgd_update
+
+    if int8:
+        # TPU.INT8_FWD_TRAIN: pre-quantize the frozen tower's kernels
+        # ONCE per dispatch (outside the chained-step scan) — the
+        # QLoRA-style forward (ops/int8.py); backward stays bf16-exact
+        from peft_vit_tpu.ops.int8 import quantize_frozen_tree
+
+        def step_fn(state, frozen, x, y):
+            qk = quantize_frozen_tree(frozen)
+
+            def body(s, _):
+                loss, grads = grad_fn(s.trainable, frozen, qk, x, y)
+                return sgd_update(grads, s, 1e-3, 1e-4), loss
+
+            state, losses = jax.lax.scan(
+                body, state, None, length=k_chain
+            )
+            return state, losses[-1]
+
+        return jax.jit(step_fn, donate_argnums=(0,))
 
     def step_fn(state, frozen, x, y):
         def body(s, _):
@@ -115,19 +143,43 @@ def main() -> None:
     grad_fn = jax.value_and_grad(loss_fn)
 
     img_s = 0.0
-    # B=16 is the measured optimum (see module docstring) and runs FIRST
-    # so a valid headline exists even if the deadline cuts the brackets;
-    # 8 and 32 bracket it in case the compiler or hardware shifts the knee
-    cases = [(16, 32), (8, 64), (32, 16)] if on_tpu else [(8, 2)]
+    # The int8-forward case (TPU.INT8_FWD_TRAIN, measured fastest:
+    # BASELINE.md round 4) runs FIRST so a valid headline exists even if
+    # the deadline cuts the rest; bf16 B=16 is the exact-compute
+    # reference point, 8 and 32 bracket the batch knee
+    cases = (
+        [(16, 32, True), (16, 32, False), (8, 64, False), (32, 16, False)]
+        if on_tpu
+        else [(8, 2, False)]
+    )
     # each cold compile costs minutes over the axon relay; stop launching
     # new cases past the soft deadline so one JSON line always prints
     deadline = time.perf_counter() + float(
         os.environ.get("PVT_BENCH_DEADLINE_S", "1500")
     )
-    for i, (batch, k_chain) in enumerate(cases):
+    for i, (batch, k_chain, int8) in enumerate(cases):
         if i > 0 and time.perf_counter() > deadline:
             break
-        step = make_step(model, grad_fn, k_chain)
+        imodel = model
+        if int8:
+            imodel = _flagship(
+                dtype=jnp.bfloat16,
+                use_flash=on_tpu,
+                remat=False,
+                softmax_fp32=False,
+                ln_fp32=False,
+                int8_train=True,
+            )
+
+        def loss_fn_i8(trainable, frozen, qk, x, y):
+            p = merge_params(trainable, frozen)
+            logits = imodel.apply(
+                {"params": p, "qkernel": qk}, x, True
+            )
+            return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
+
+        gfn = jax.value_and_grad(loss_fn_i8) if int8 else grad_fn
+        step = make_step(imodel, gfn, k_chain, int8=int8)
         # donated state: each case needs its own copy
         state = init_cell_state(jax.tree.map(jnp.copy, trainable))
         # >= ~4k images per timing window

@@ -68,6 +68,9 @@ _C["TPU"] = CN(
         # straight-through exact; convergence-parity gated in
         # tests/test_int8_fwd_train.py
         "INT8_FWD_TRAIN": False,
+        # which frozen-tower GEMMs the int8 paths quantize; the MLP pair
+        # carries 2/3 of the FLOPs with the best quantize amortization
+        "INT8_TARGETS": ["in_proj", "out_proj", "c_fc", "c_proj"],
         # patchify via dot_general over (p, q, c) instead of the strided
         # conv.  Measured (BASELINE.md round-3): ties the conv on the
         # LoRA train step and on int8 eval, loses ~5% on bf16 eval at

@@ -251,7 +251,7 @@ class Trainer:
             1, int(cfg.TRAIN.END_EPOCH) * int(self.steps_per_epoch)
         )
 
-        def loss_fn(trainable, frozen, batch_stats, x, y, rng, step):
+        def loss_fn(trainable, frozen, qk, batch_stats, x, y, rng, step):
             params = merge_params(trainable, frozen)
             if transform is not None:
                 rng, t_rng = jax.random.split(rng)
@@ -282,6 +282,8 @@ class Trainer:
                     smoothing=smoothing,
                 )
             variables = {"params": params}
+            if qk is not None:  # TPU.INT8_FWD_TRAIN pre-quantized kernels
+                variables["qkernel"] = qk
             # DropBlock kwargs wired on EVERY apply path (ADVICE r3: a
             # FROZEN_BN ResNet takes the non-BN branch below and still
             # needs the 'dropblock' PRNG stream + anneal position)
@@ -321,9 +323,27 @@ class Trainer:
 
         opt_shardings = self._opt_shardings
 
-        def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
+        # TPU.INT8_FWD_TRAIN: quantize the frozen tower's kernels ONCE
+        # per dispatch (hoisted out of the chained-step scan below) —
+        # per-step weight quantization is the dominant overhead of the
+        # on-the-fly path (BASELINE.md round 4)
+        int8_fwd = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
+        int8_targets = tuple(
+            cfg.TPU.get(
+                "INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"]
+            )
+        )
+
+        def _qk(frozen):
+            if not int8_fwd:
+                return None
+            from ..ops.int8 import quantize_frozen_tree
+
+            return quantize_frozen_tree(frozen, targets=int8_targets)
+
+        def train_step_inner(state, frozen, qk, x, y, rng, epoch):
             (loss, (logits, new_stats)), grads = grad_fn(
-                state.trainable, frozen, state.batch_stats, x, y, rng,
+                state.trainable, frozen, qk, state.batch_stats, x, y, rng,
                 state.step,
             )
             updates, opt_state = tx.update(
@@ -357,17 +377,26 @@ class Trainer:
             )
             return new_state, loss, logits
 
+        def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
+            return train_step_inner(
+                state, frozen, _qk(frozen), x, y, rng, epoch
+            )
+
         # TPU.STEPS_PER_DISPATCH > 1: scan K steps inside one jitted call
         # over a (K, B, ...) chunk.  One host->device transfer + one
         # dispatch per K steps — amortizes per-dispatch host cost exactly
         # like bench.py's k_chain, and is the production shape for
         # environments where dispatch/transfer latency is material.
         def train_step_scan(state, frozen, xs, ys, rng, epoch):
+            qk = _qk(frozen)  # once per dispatch, scan-invariant
+
             def body(carry, inp):
                 s, r = carry
                 r, sub = jax.random.split(r)
                 x, y = inp
-                s, loss, _ = train_step(s, frozen, x, y, sub, epoch)
+                s, loss, _ = train_step_inner(
+                    s, frozen, qk, x, y, sub, epoch
+                )
                 return (s, r), loss
 
             (state, _), losses = jax.lax.scan(

@@ -985,3 +985,71 @@ def hrnet_v_state_dict_to_tree(
         bn("final_bn", "proj_modules.1")
 
     return flat, stats
+
+
+def ttnet_state_dict_to_tree(
+    sd: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """cls_ttnet_v2.py MobileShuffleV2Net / cls_ttnet_v3.py TTNetV3
+    state dict -> our TTNetV2/TTNetV3 naming (models/ttnet.py).
+    Returns (params, batch_stats); detects the version by key prefix
+    ('backbone.' = v2, 'stem.' = v3)."""
+    flat: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def conv(path, key):
+        # same transpose covers dense (O,I,kh,kw) and depthwise
+        # (C,1,kh,kw) -> flax (kh,kw,I|1,O|C)
+        flat[path + "/kernel"] = _np(sd[key + ".weight"]).transpose(
+            2, 3, 1, 0
+        )
+
+    def bn(path, key):
+        flat[path + "/scale"] = _np(sd[key + ".weight"])
+        flat[path + "/bias"] = _np(sd[key + ".bias"])
+        stats[path + "/mean"] = _np(sd[key + ".running_mean"])
+        stats[path + "/var"] = _np(sd[key + ".running_var"])
+
+    def branch(path, key):
+        # torch Sequential: 0 conv,1 bn,2 relu,3 conv,4 bn,5 relu,6 conv,7 bn
+        for ours, theirs in (
+            ("conv1", "0"), ("conv2", "3"), ("conv3", "6"),
+        ):
+            conv(f"{path}/{ours}", f"{key}.{theirs}")
+        for ours, theirs in (("bn1", "1"), ("bn2", "4"), ("bn3", "7")):
+            bn(f"{path}/{ours}", f"{key}.{theirs}")
+
+    def block(path, key):
+        branch(f"{path}/branch1", f"{key}.branch1")
+        if f"{key}.branch2.0.weight" in sd:
+            branch(f"{path}/branch2", f"{key}.branch2")
+
+    if any(k.startswith("backbone.conv1.") for k in sd):  # v2
+        conv("conv1_conv", "backbone.conv1.0")
+        bn("conv1_bn", "backbone.conv1.1")
+        block("block1", "backbone.block1")
+        s = 1
+        while f"backbone.stage_{s}.0.branch1.0.weight" in sd:
+            i = 0
+            while f"backbone.stage_{s}.{i}.branch1.0.weight" in sd:
+                block(f"stage_{s}/block_{i}", f"backbone.stage_{s}.{i}")
+                i += 1
+            s += 1
+    else:  # v3
+        conv("stem_conv", "stem.0.0")
+        bn("stem_bn", "stem.0.1")
+        block("stem_block", "stem.1")
+        s = 0
+        while f"stages.{s}.0.branch1.0.weight" in sd:
+            i = 0
+            while f"stages.{s}.{i}.branch1.0.weight" in sd:
+                block(f"stage_{s + 1}/block_{i}", f"stages.{s}.{i}")
+                i += 1
+            s += 1
+        if "conv1x1.0.weight" in sd:
+            conv("final_conv", "conv1x1.0")
+            bn("final_bn", "conv1x1.1")
+
+    flat["fc/kernel"] = _np(sd["fc.weight"]).T
+    flat["fc/bias"] = _np(sd["fc.bias"])
+    return flat, stats

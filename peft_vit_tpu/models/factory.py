@@ -90,6 +90,12 @@ def is_efficientnet_model(cfg) -> bool:
     return "efficientnet" in name or vm == "efficientnet"
 
 
+def is_ttnet_model(cfg) -> bool:
+    name = str(cfg.MODEL.NAME).lower()
+    vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
+    return "ttnet" in name or vm == "ttnet"
+
+
 def is_hrnet_model(cfg) -> bool:
     name = str(cfg.MODEL.NAME).lower()
     vm = str(cfg.MODEL.SPEC.VISION.get("MODEL", "vit")).lower()
@@ -281,6 +287,11 @@ def build_image_classifier(
     # backward (ops/int8.py int8_matmul_bf16_bwd); PEFT deltas, head, and
     # every gradient stay bf16/fp32
     int8_train = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
+    int8_targets = tuple(
+        cfg.TPU.get(
+            "INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"]
+        )
+    )
     patch_gemm = bool(cfg.TPU.get("PATCH_EMBED_GEMM", False))
     act_sharding = None
     if bool(cfg.TPU.get("SEQUENCE_PARALLEL", False)):
@@ -398,6 +409,7 @@ def build_image_classifier(
                 ln_fp32=ln_fp32,
                 int8=int8,
                 int8_train=int8_train,
+                int8_targets=int8_targets,
                 patch_gemm=patch_gemm,
                 act_sharding=act_sharding,
                 attn_batch_chunk=attn_batch_chunk,
@@ -510,6 +522,16 @@ def build_image_classifier(
                 head_ch=int(v.get("HEAD_CH", 1280)),
                 dtype=dtype,
             )
+        elif is_ttnet_model(cfg):
+            # cls_ttnet_v2 (hardcoded) / cls_ttnet_v3 (MODEL.EXTRA spec)
+            from .ttnet import TTNetV2, ttnet_v3_from_config
+
+            if "v3" in str(cfg.MODEL.NAME).lower():
+                backbone = ttnet_v3_from_config(
+                    cfg, num_classes, dtype=dtype, features_only=True
+                )
+            else:
+                backbone = TTNetV2(features_only=True, dtype=dtype)
         elif is_hrnet_model(cfg):
             backbone = _build_hrnet_backbone(cfg, dtype)
         elif is_resnet_model(cfg):
@@ -559,6 +581,7 @@ def build_image_classifier(
                 ln_fp32=ln_fp32,
                 int8=int8,
                 int8_train=int8_train,
+                int8_targets=int8_targets,
                 patch_gemm=patch_gemm,
                 act_sharding=act_sharding,
                 attn_batch_chunk=attn_batch_chunk,
@@ -597,6 +620,7 @@ def build_image_classifier(
         elif sd is not None and not (
             is_resnet_model(cfg)
             or is_hrnet_model(cfg)
+            or is_ttnet_model(cfg)
             or is_rexnet_model(cfg)
             or is_convvit_model(cfg)
         ):

@@ -111,6 +111,8 @@ class Mlp(nn.Module):
     act: str = "gelu"
     int8: bool = False
     int8_bwd: bool = False  # differentiable int8 fwd (TPU.INT8_FWD_TRAIN)
+    # which GEMMs participate when int8 is on (TPU.INT8_TARGETS)
+    int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -120,19 +122,21 @@ class Mlp(nn.Module):
 
         from ..ops.int8 import Int8Dense
 
-        dense = (
-            functools.partial(Int8Dense, train_bwd=self.int8_bwd)
-            if self.int8
-            else nn.Dense
-        )
-        x = dense(
+        def dense(name):
+            if self.int8 and name in self.int8_targets:
+                return functools.partial(
+                    Int8Dense, train_bwd=self.int8_bwd
+                )
+            return nn.Dense
+
+        x = dense("c_fc")(
             self.hidden,
             name="c_fc",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         x = ACT2FN[self.act](x)
-        x = dense(
+        x = dense("c_proj")(
             self.width,
             name="c_proj",
             dtype=self.dtype,
@@ -316,6 +320,7 @@ class MultiHeadAttention(nn.Module):
     softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
     int8: bool = False  # int8 MXU GEMMs for in/out_proj (no-grad only)
     int8_bwd: bool = False  # differentiable int8 fwd (TPU.INT8_FWD_TRAIN)
+    int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     attn_batch_chunk: int = 0  # lax.map attention slices (VMEM-resident)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -331,13 +336,14 @@ class MultiHeadAttention(nn.Module):
         hd = d // h
         spec = self.spec
         scale = hd**-0.5
-        dense = (
-            functools.partial(Int8Dense, train_bwd=self.int8_bwd)
-            if self.int8
-            else nn.Dense
-        )
+        def dense_for(name):
+            if self.int8 and name in self.int8_targets:
+                return functools.partial(
+                    Int8Dense, train_bwd=self.int8_bwd
+                )
+            return nn.Dense
 
-        qkv = dense(
+        qkv = dense_for("in_proj")(
             3 * d,
             name="in_proj",
             dtype=self.dtype,
@@ -559,7 +565,7 @@ class MultiHeadAttention(nn.Module):
             )(vp).reshape(b, g * g, d)
             out = out.at[:, self.n_prefix :, :].add(lepe)
 
-        out = dense(
+        out = dense_for("out_proj")(
             d,
             name="out_proj",
             dtype=self.dtype,
@@ -595,6 +601,7 @@ class Block(nn.Module):
     # Targets the frozen tower's in/out_proj + MLP GEMMs — the PEFT
     # deltas and head keep dense bf16 math either way.
     int8_train: bool = False
+    int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK
     drop_path: float = 0.0
     ln_fp32: bool = True
@@ -623,6 +630,7 @@ class Block(nn.Module):
             softmax_fp32=self.softmax_fp32,
             int8=int8,
             int8_bwd=int8_bwd,
+            int8_targets=self.int8_targets,
             attn_batch_chunk=self.attn_batch_chunk,
             name="attn",
             dtype=self.dtype,
@@ -642,6 +650,7 @@ class Block(nn.Module):
             act=self.act,
             int8=int8,
             int8_bwd=int8_bwd,
+            int8_targets=self.int8_targets,
             name="mlp",
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -62,6 +62,7 @@ class _BlockCell(nn.Module):
     ln_fp32: bool
     int8: bool
     int8_train: bool
+    int8_targets: tuple
     attn_batch_chunk: int
     dtype: Dtype
     param_dtype: Dtype
@@ -84,6 +85,7 @@ class _BlockCell(nn.Module):
             softmax_fp32=self.softmax_fp32,
             int8=self.int8,
             int8_train=self.int8_train,
+            int8_targets=self.int8_targets,
             attn_batch_chunk=self.attn_batch_chunk,
             drop_path=0.0,
             ln_fp32=self.ln_fp32,
@@ -169,6 +171,7 @@ class VisionTransformer(nn.Module):
     # TPU.INT8_FWD_TRAIN: int8 GEMMs on training forwards with a
     # full-precision custom-vjp backward (QLoRA recipe, ops/int8.py)
     int8_train: bool = False
+    int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     patch_gemm: bool = False  # TPU.PATCH_EMBED_GEMM: patchify via MXU GEMM
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK: lax.map attention
     # TPU.SEQUENCE_PARALLEL: a PartitionSpec for the (B, N, C) inter-block
@@ -364,6 +367,7 @@ class VisionTransformer(nn.Module):
                 self.ln_fp32,
                 self.int8,
                 self.int8_train,
+                self.int8_targets,
                 self.attn_batch_chunk,
                 self.dtype,
                 self.param_dtype,
@@ -409,6 +413,7 @@ class VisionTransformer(nn.Module):
                 softmax_fp32=self.softmax_fp32,
                 int8=self.int8,
                 int8_train=self.int8_train,
+                int8_targets=self.int8_targets,
                 attn_batch_chunk=self.attn_batch_chunk,
                 drop_path=float(dpr[i]),
                 ln_fp32=self.ln_fp32,

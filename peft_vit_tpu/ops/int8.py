@@ -160,13 +160,17 @@ def _prequant_matmul_pallas(
 
 
 def _prequant_forward(x, w_i8, s_w, use_pallas=None):
-    """Quantized forward shared by the jnp and Pallas paths."""
+    """Quantized forward shared by the jnp and Pallas paths.
+
+    MEASURED NEGATIVE (BASELINE.md round 4): at the flagship's train
+    shapes (M=3152) the one-kernel Pallas path loses to XLA's separate
+    quantize + int8-GEMM fusions (1,514 vs 1,954 img/s on the full
+    step) — the same small-shape grid/padding economics that sank the
+    flash kernels at N=197.  Default is therefore the XLA path; the
+    kernel stays available for large-M callers via ``use_pallas=True``.
+    """
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and x.shape[-1] % 128 == 0
-            and w_i8.shape[1] % 128 == 0
-        )
+        use_pallas = False
     if use_pallas:
         x2d = x.reshape(-1, x.shape[-1])
         out = _prequant_matmul_pallas(x2d, w_i8, s_w, x.dtype)
