@@ -30,8 +30,18 @@ from typing import Dict, List, Optional
 
 logger = logging.getLogger(__name__)
 
-# common/constants.py:4
-VISION_DATASET_STORAGE = "https://irisdatasets.blob.core.windows.net/share"
+# common/constants.py:4; the VISION_DATASET_STORAGE env var overrides
+# (lets tests / mirrors point the hub at any blob layout, e.g. a
+# localhost HTTP server serving the same directory structure)
+_DEFAULT_STORAGE = "https://irisdatasets.blob.core.windows.net/share"
+VISION_DATASET_STORAGE = os.environ.get(
+    "VISION_DATASET_STORAGE", _DEFAULT_STORAGE
+)
+
+
+def storage_url() -> str:
+    """Resolve the blob-storage base URL at CALL time (env override)."""
+    return os.environ.get("VISION_DATASET_STORAGE", _DEFAULT_STORAGE)
 
 _SPLITS = ("train", "val", "test")
 
@@ -132,7 +142,7 @@ def ensure_dataset(
     dest_root: str,
     *,
     splits=_SPLITS,
-    storage: str = VISION_DATASET_STORAGE,
+    storage: Optional[str] = None,
     registry_path: Optional[str] = None,
     download: bool = False,
     opener=None,
@@ -144,6 +154,7 @@ def ensure_dataset(
     ``download=False`` (the zero-egress default) missing files raise a
     FileNotFoundError listing the exact blobs to provision offline —
     never a partial cache.  ``opener`` injects the transport (tests)."""
+    storage = storage or storage_url()
     entry = resolve_entry(name, load_registry(registry_path))
     root_folder = entry.get("root_folder", "")
     local = os.path.join(dest_root, root_folder)

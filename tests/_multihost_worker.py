@@ -11,11 +11,113 @@ through torch.distributed.launch (full_shot/main/run.sh:3-11):
 * host_allgather / allgather_ragged
 * checkpointing through Orbax's collective save (primary-process write)
 
-Usage: python _multihost_worker.py <pid> <nprocs> <port> <workdir>
+Usage: python _multihost_worker.py <pid> <nprocs> <port> <workdir> [mode]
+
+Modes (VERDICT r3 #4 — multi-host preemption):
+* (none)  — the original streaming-trainer suite
+* pref    — uninterrupted 2-epoch Trainer.fit; rank 0 dumps final
+            trainable leaves to <workdir>/ref.npz
+* ppre    — same run, but rank 0 SIGTERMs ITSELF mid-epoch-0; the
+            preemption OR-agreement makes BOTH processes checkpoint at
+            the same dispatch boundary and raise PreemptedError
+* pres    — same cluster relaunched: fit auto-resumes at the exact
+            batch and finishes; rank 0 dumps <workdir>/res.npz
+            (the test asserts ref == res bit-for-bit, globally)
 """
 
 import os
 import sys
+
+
+def _preempt_main(pid, nprocs, workdir, mode):
+    import signal
+
+    import jax
+    import numpy as np
+
+    from peft_vit_tpu.config import get_default_config
+    from peft_vit_tpu.engine.trainer import (
+        PreemptedError,
+        Trainer,
+        _skip_batches,
+        batch_iterator,
+    )
+    from peft_vit_tpu.models import ImageClassifier, VisionTransformer
+    from peft_vit_tpu.parallel import make_mesh
+    from peft_vit_tpu.peft import PEFTSpec, build_mask
+
+    cfg = get_default_config()
+    cfg.DATASET.DATASET = "synthetic"
+    cfg.DATASET.NUM_CLASSES = 4
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.TRAIN.IMAGE_SIZE = [16, 16]
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 4  # per process -> global batch 8
+    cfg.TRAIN.END_EPOCH = 2
+    cfg.TRAIN.LR = 0.05
+    cfg.TRAIN.LR_SCHEDULER.METHOD = "constant"
+    cfg.TRAIN.CHECKPOINT_EVERY_STEPS = 100
+    cfg.PRINT_FREQ = 1  # preemption agreement at every boundary
+    cfg.OUTPUT_DIR = os.path.join(workdir, "preempt_out")
+
+    # per-process LOCAL shard of the global batch: deterministic per rank,
+    # identical across the three phases (the prefetcher assembles the
+    # global array via make_array_from_process_local_data)
+    rng = np.random.RandomState(100 + pid)
+    y = np.arange(32) % 4
+    x = rng.randn(32, 16, 16, 3).astype(np.float32) * 0.3
+    x += np.linspace(-1, 1, 4)[y][:, None, None, None]
+
+    mesh = make_mesh(data=jax.device_count())
+    vit = VisionTransformer(
+        image_size=16, patch_size=8, width=32, layers=2, heads=2,
+        style="timm", spec=PEFTSpec(), use_flash=False,
+    )
+    model = ImageClassifier(backbone=vit, num_classes=4)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 16, 16, 3), np.float32)
+    )["params"]
+    mask = build_mask(params, "bitfit", num_layers=2)
+    trainer = Trainer(
+        cfg, model, params, mask, steps_per_epoch=8, mesh=mesh
+    )
+    ckpt = os.path.join(workdir, "preempt_ckpt")
+
+    def batches(e, skip=None):
+        it = batch_iterator(x, y, 4, seed=e)
+        if skip:
+            yield from _skip_batches(it, skip)
+            return
+        for j, b in enumerate(it):
+            if mode == "ppre" and pid == 0 and e == 0 and j == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    if mode == "pref":
+        trainer.fit(batches, lambda: iter(()))
+        if pid == 0:
+            np.savez(
+                os.path.join(workdir, "ref.npz"),
+                *[np.asarray(l) for l in jax.tree_util.tree_leaves(
+                    trainer.state.trainable)],
+            )
+    elif mode == "ppre":
+        try:
+            trainer.fit(batches, lambda: iter(()), checkpoint_dir=ckpt)
+        except PreemptedError as e:
+            print(f"MH_PREEMPTED rank {pid}: {e}", flush=True)
+        else:
+            raise AssertionError("expected PreemptedError on every rank")
+    elif mode == "pres":
+        trainer.fit(batches, lambda: iter(()), checkpoint_dir=ckpt)
+        if pid == 0:
+            np.savez(
+                os.path.join(workdir, "res.npz"),
+                *[np.asarray(l) for l in jax.tree_util.tree_leaves(
+                    trainer.state.trainable)],
+            )
+    print(f"MH_PHASE_OK {mode} rank {pid}", flush=True)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def main():
@@ -31,6 +133,9 @@ def main():
     from peft_vit_tpu.utils.dist import init_distributed, is_main_process
 
     rank, world = init_distributed(f"localhost:{port}", nprocs, pid)
+    if len(sys.argv) > 5:
+        _preempt_main(pid, nprocs, workdir, sys.argv[5])
+        return
     import jax
     import numpy as np
 

