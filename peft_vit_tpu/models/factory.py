@@ -306,7 +306,29 @@ def build_image_classifier(
         # config mesh is installed globally here (process-local,
         # deliberate: scoping it would break later traces; a context
         # mesh only affects bare-spec APIs, which nothing else uses)
-        jax.set_mesh(mesh_from_config(cfg))
+        mesh = mesh_from_config(cfg)
+        # shape contract (VERDICT r3): Megatron-SP shards the TOKEN axis
+        # over the tensor axis, so N must divide tp.  ViT-B's native
+        # 197 tokens cannot shard over tp=2 — fail at build time with
+        # the sanctioned fix (VPT prompt tokens round N up) instead of
+        # an opaque GSPMD error at trace time
+        tp = int(mesh.shape.get(MODEL_AXIS, 1))
+        if tp > 1:
+            g = int(cfg.TRAIN.IMAGE_SIZE[0]) // int(
+                cfg.MODEL.SPEC.VISION.PATCH_SIZE
+            )
+            n_tokens = g * g + 1 + int(cfg.PEFT.get("PROMPT_TOKENS", 0))
+            if n_tokens % tp:
+                pad = tp - n_tokens % tp
+                raise ValueError(
+                    f"TPU.SEQUENCE_PARALLEL: the {n_tokens}-token "
+                    f"sequence (grid {g}x{g} + cls + prompts) does not "
+                    f"divide the tensor axis (model={tp}). Add "
+                    f"PEFT.PROMPT_TOKENS={pad} VPT tokens (or "
+                    f"{pad + tp}k) to round the sequence up, or change "
+                    f"TPU.MESH.MODEL."
+                )
+        jax.set_mesh(mesh)
         act_sharding = PartitionSpec(
             PartitionSpec.UNCONSTRAINED, MODEL_AXIS, None
         )

