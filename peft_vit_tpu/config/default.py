@@ -71,6 +71,10 @@ _C["TPU"] = CN(
         # which frozen-tower GEMMs the int8 paths quantize; the MLP pair
         # carries 2/3 of the FLOPs with the best quantize amortization
         "INT8_TARGETS": ["in_proj", "out_proj", "c_fc", "c_proj"],
+        # SwitchBack-style extension of INT8_FWD_TRAIN: the dx backward
+        # (cotangent x frozen-weight^T) also runs on the int8 MXU using
+        # per-dispatch pre-quantized transposed kernels; dw stays exact
+        "INT8_BWD_DX": False,
         # patchify via dot_general over (p, q, c) instead of the strided
         # conv.  Measured (BASELINE.md round-3): ties the conv on the
         # LoRA train step and on int8 eval, loses ~5% on bf16 eval at

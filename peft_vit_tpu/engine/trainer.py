@@ -334,12 +334,16 @@ class Trainer:
             )
         )
 
+        int8_bwd_dx = bool(cfg.TPU.get("INT8_BWD_DX", False))
+
         def _qk(frozen):
             if not int8_fwd:
                 return None
             from ..ops.int8 import quantize_frozen_tree
 
-            return quantize_frozen_tree(frozen, targets=int8_targets)
+            return quantize_frozen_tree(
+                frozen, targets=int8_targets, bwd_dx=int8_bwd_dx
+            )
 
         def train_step_inner(state, frozen, qk, x, y, rng, epoch):
             (loss, (logits, new_stats)), grads = grad_fn(

@@ -63,8 +63,15 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
         ):
             img[:, hs, wsl, :] = cnt
             cnt += 1
-    win = window_partition(jnp.asarray(img), ws)
-    win = np.asarray(win).reshape(-1, ws * ws)
+    # pure numpy (NOT window_partition): jnp ops on constants yield
+    # tracers inside jit, and this mask is static — routing it through
+    # jnp made Swin un-jittable with shifted windows (caught by the
+    # round-4 bench matrix; eager tests never jit the full model)
+    win = (
+        img.reshape(1, h // ws, ws, w // ws, ws, 1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, ws * ws)
+    )
     diff = win[:, :, None] - win[:, None, :]
     return np.where(diff != 0, -1e9, 0.0).astype(np.float32)
 

@@ -234,12 +234,63 @@ def _i8pq_bwd(res, g):
 int8_prequant_matmul.defvjp(_i8pq_fwd, _i8pq_bwd)
 
 
+@jax.custom_vjp
+def int8_prequant_matmul_i8bwd(
+    x: jax.Array,
+    w: jax.Array,
+    w_i8: jax.Array,
+    s_w: jax.Array,
+    wt_i8: jax.Array,
+    s_wt: jax.Array,
+) -> jax.Array:
+    """SwitchBack-style variant: int8 forward AND int8 dx backward.
+
+    dx = g @ w^T contracts the incoming cotangent with the SAME frozen
+    weights as the forward — ``wt_i8``/``s_wt`` are the pre-quantized
+    TRANSPOSED kernel (per-dispatch, like ``w_i8``), and the backward
+    quantizes g per-row dynamically.  dw (dead for frozen kernels) stays
+    the dense product so a trainable kernel routed here still gets exact
+    weight gradients.  Opt in via ``quantize_frozen_tree(bwd_dx=True)``;
+    convergence-gated like the forward path.
+    """
+    return _prequant_forward(x, w_i8, s_w)
+
+
+def _i8pq2_fwd(x, w, w_i8, s_w, wt_i8, s_wt):
+    return _prequant_forward(x, w_i8, s_w), (x, w, wt_i8, s_wt)
+
+
+def _i8pq2_bwd(res, g):
+    import numpy as np
+
+    x, w, wt_i8, s_wt = res
+    dx = _prequant_forward(g, wt_i8, s_wt)
+    bdims = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((bdims, bdims), ((), ()))
+    ).astype(w.dtype)
+    k, n = w.shape
+    return (
+        dx,
+        dw,
+        np.zeros((k, n), jax.dtypes.float0),
+        jnp.zeros((1, n), jnp.float32),
+        np.zeros((n, k), jax.dtypes.float0),
+        jnp.zeros((1, k), jnp.float32),
+    )
+
+
+int8_prequant_matmul_i8bwd.defvjp(_i8pq2_fwd, _i8pq2_bwd)
+
+
 #: module names whose "kernel" is routed through Int8Dense by the models
 #: (the frozen tower's GEMMs: packed qkv + out proj + the MLP pair)
 INT8_TARGET_MODULES = ("in_proj", "out_proj", "c_fc", "c_proj")
 
 
-def quantize_frozen_tree(frozen, targets=INT8_TARGET_MODULES):
+def quantize_frozen_tree(
+    frozen, targets=INT8_TARGET_MODULES, bwd_dx: bool = False
+):
     """Pre-quantize a frozen param tree's Int8Dense kernels.
 
     Returns a flax variable collection (pass as ``{"qkernel": ...}`` to
@@ -248,6 +299,10 @@ def quantize_frozen_tree(frozen, targets=INT8_TARGET_MODULES):
     slots from ``split_params``) and non-target leaves are skipped, so
     the tree works for any PEFT mask.  Call once per dispatch, outside
     the chained-step scan.
+
+    ``bwd_dx=True`` additionally emits the TRANSPOSED quantized kernel
+    (``wt_i8``, ``s_wt``) — Int8Dense then runs the dx backward on the
+    int8 MXU too (TPU.INT8_BWD_DX; SwitchBack recipe).
     """
     from flax import traverse_util
 
@@ -260,6 +315,10 @@ def quantize_frozen_tree(frozen, targets=INT8_TARGET_MODULES):
             w_i8, s_w = quantize_cols(leaf)
             out[path[:-1] + ("w_i8",)] = w_i8
             out[path[:-1] + ("s_w",)] = s_w
+            if bwd_dx:
+                wt_i8, s_wt = quantize_cols(leaf.T)
+                out[path[:-1] + ("wt_i8",)] = wt_i8
+                out[path[:-1] + ("s_wt",)] = s_wt
     return traverse_util.unflatten_dict(out)
 
 
@@ -294,9 +353,23 @@ class Int8Dense(nn.Module):
             # (quantize_frozen_tree) — skip the per-call weight quantize
             w_i8 = self.get_variable("qkernel", "w_i8")
             s_w = self.get_variable("qkernel", "s_w")
-            y = int8_prequant_matmul(
-                x.astype(self.dtype), kernel.astype(self.dtype), w_i8, s_w
-            )
+            if self.has_variable("qkernel", "wt_i8"):
+                # transposed tensors present -> int8 dx backward too
+                y = int8_prequant_matmul_i8bwd(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    w_i8,
+                    s_w,
+                    self.get_variable("qkernel", "wt_i8"),
+                    self.get_variable("qkernel", "s_wt"),
+                )
+            else:
+                y = int8_prequant_matmul(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    w_i8,
+                    s_w,
+                )
         else:
             mm = int8_matmul_bf16_bwd if self.train_bwd else int8_matmul
             y = mm(x.astype(self.dtype), kernel.astype(self.dtype))

@@ -58,6 +58,36 @@ class TestOp:
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_d), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_d), rtol=1e-6)
 
+    def test_i8bwd_variant(self):
+        """SwitchBack variant (TPU.INT8_BWD_DX): forward identical to the
+        prequant op; dx runs the int8 path against the pre-quantized
+        TRANSPOSED kernel (cosine ~1 to the dense dx); dw stays exact."""
+        from peft_vit_tpu.ops.int8 import (
+            int8_prequant_matmul,
+            int8_prequant_matmul_i8bwd,
+            quantize_cols,
+        )
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(6, 32).astype(np.float32))
+        w = jnp.asarray(rng.randn(32, 16).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.randn(6, 16).astype(np.float32))
+        w_i8, s_w = quantize_cols(w)
+        wt_i8, s_wt = quantize_cols(w.T)
+
+        y2, vjp2 = jax.vjp(
+            int8_prequant_matmul_i8bwd, x, w, w_i8, s_w, wt_i8, s_wt
+        )
+        y1 = int8_prequant_matmul(x, w, w_i8, s_w)
+        np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
+
+        dx, dw = vjp2(g)[:2]
+        dx_dense = np.asarray(g) @ np.asarray(w).T
+        assert cos(dx, dx_dense) > 0.999, cos(dx, dx_dense)
+        np.testing.assert_allclose(
+            np.asarray(dw), np.asarray(x).T @ np.asarray(g), rtol=1e-6
+        )
+
     def test_grad_flows_batched(self):
         x = jnp.ones((2, 3, 4))
         w = jnp.full((4, 6), 0.25)

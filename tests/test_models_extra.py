@@ -223,3 +223,32 @@ class TestCustomModelRegistry:
 
         assert get_custom_builder("clip_vitb16") is None
         assert get_custom_builder("cls_swin") is None
+
+
+class TestSwinJittable:
+    def test_shifted_window_model_jits(self):
+        """Round-4 regression: _shift_attn_mask must stay pure numpy —
+        jnp ops on the static mask became tracers under jit and made any
+        jitted Swin train/eval step fail (caught by the bench matrix;
+        eager applies never trace)."""
+        import jax
+        import jax.numpy as jnp
+
+        from peft_vit_tpu.models import ImageClassifier
+        from peft_vit_tpu.models.swin import SwinTransformer
+
+        v = SwinTransformer(
+            image_size=56, embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+            use_flash=False,
+        )
+        model = ImageClassifier(backbone=v, num_classes=5)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)), True
+        )["params"]
+
+        @jax.jit
+        def step(p, x):
+            return model.apply({"params": p}, x, True)
+
+        out = step(params, jnp.zeros((2, 56, 56, 3)))
+        assert out.shape == (2, 5)
