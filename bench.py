@@ -12,13 +12,15 @@ which every named lever was built and measured negative.  3,000 img/s
 implies 213 TF/s sustained at 71 GFLOP/img — above nominal peak; the
 headline number is this part's measured limit for exact bf16 compute.
 
-Round-4 headline configuration: TPU.INT8_FWD_TRAIN — the QLoRA-style
-train step (frozen tower's GEMMs int8 on the forward via per-dispatch
-pre-quantized weights, full-precision custom-vjp backward; ops/int8.py,
-convergence-gated in tests/test_int8_fwd_train.py).  Measured 1,962
-img/s at B=16 vs 1,839 bf16 (+6.7%); the int8 GEMMs run at 300-325
-TF/s but carry only ~20% of the step after XLA's unfused quantize
-epilogues — per-fusion accounting in BASELINE.md round 4.
+Round-4 headline configuration: TPU.INT8_FWD_TRAIN + TPU.INT8_BWD_DX —
+the QLoRA-style forward (frozen tower's GEMMs int8 via per-dispatch
+pre-quantized weights) PLUS the SwitchBack-style backward: dx = g @ W^T
+through those frozen layers also rides the int8 MXU against the
+pre-quantized transposed kernel.  Sound because the tower is frozen (no
+dW exists through those GEMMs; LoRA's own dW stays exact); convergence
+-gated in tests/test_int8_fwd_train.py and on chip (BASELINE.md round
+4).  Measured 2,142 img/s at B=16 vs 1,939 int8-fwd-only and 1,833 bf16
+(+17%); per-fusion accounting in BASELINE.md round 4.
 
 Configuration (all measured on v5e, see BASELINE.md):
 * bf16 fast path: attention scores (TPU.BF16_SOFTMAX) and LayerNorm
@@ -65,17 +67,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_S = 3000.0
 
 
-def make_step(model, grad_fn, k_chain: int, int8: bool = False):
+def make_step(model, grad_fn, k_chain: int, int8: bool = False,
+              bwd_dx: bool = False):
     from peft_vit_tpu.engine import sgd_update
 
     if int8:
         # TPU.INT8_FWD_TRAIN: pre-quantize the frozen tower's kernels
         # ONCE per dispatch (outside the chained-step scan) — the
-        # QLoRA-style forward (ops/int8.py); backward stays bf16-exact
+        # QLoRA-style forward (ops/int8.py); backward stays bf16-exact.
+        # bwd_dx (TPU.INT8_BWD_DX, SwitchBack recipe): dx = g @ W^T also
+        # rides the int8 MXU against the pre-quantized TRANSPOSED kernel
+        # — sound because the tower is FROZEN (no dW needed; LoRA dW is
+        # exact), convergence-gated in tests/test_int8_fwd_train.py.
         from peft_vit_tpu.ops.int8 import quantize_frozen_tree
 
         def step_fn(state, frozen, x, y):
-            qk = quantize_frozen_tree(frozen)
+            qk = quantize_frozen_tree(frozen, bwd_dx=bwd_dx)
 
             def body(s, _):
                 loss, grads = grad_fn(s.trainable, frozen, qk, x, y)
@@ -143,21 +150,28 @@ def main() -> None:
     grad_fn = jax.value_and_grad(loss_fn)
 
     img_s = 0.0
-    # The int8-forward case (TPU.INT8_FWD_TRAIN, measured fastest:
-    # BASELINE.md round 4) runs FIRST so a valid headline exists even if
-    # the deadline cuts the rest; bf16 B=16 is the exact-compute
-    # reference point, 8 and 32 bracket the batch knee
+    # The int8-forward + int8-dx case (TPU.INT8_FWD_TRAIN +
+    # TPU.INT8_BWD_DX, measured fastest: BASELINE.md round 4) runs FIRST
+    # so a valid headline exists even if the deadline cuts the rest;
+    # fwd-only int8 and bf16 B=16 are the reference points, 8 and 32
+    # bracket the batch knee.  Case = (batch, k_chain, int8, bwd_dx).
     cases = (
-        [(16, 32, True), (16, 32, False), (8, 64, False), (32, 16, False)]
+        [
+            (16, 32, True, True),
+            (16, 32, True, False),
+            (16, 32, False, False),
+            (8, 64, False, False),
+            (32, 16, False, False),
+        ]
         if on_tpu
-        else [(8, 2, False)]
+        else [(8, 2, False, False)]
     )
     # each cold compile costs minutes over the axon relay; stop launching
     # new cases past the soft deadline so one JSON line always prints
     deadline = time.perf_counter() + float(
         os.environ.get("PVT_BENCH_DEADLINE_S", "1500")
     )
-    for i, (batch, k_chain, int8) in enumerate(cases):
+    for i, (batch, k_chain, int8, bwd_dx) in enumerate(cases):
         if i > 0 and time.perf_counter() > deadline:
             break
         imodel = model
@@ -179,7 +193,7 @@ def main() -> None:
             return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
 
         gfn = jax.value_and_grad(loss_fn_i8) if int8 else grad_fn
-        step = make_step(imodel, gfn, k_chain, int8=int8)
+        step = make_step(imodel, gfn, k_chain, int8=int8, bwd_dx=bwd_dx)
         # donated state: each case needs its own copy
         state = init_cell_state(jax.tree.map(jnp.copy, trainable))
         # >= ~4k images per timing window

@@ -82,17 +82,39 @@ def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
 
         return lambda: eval_steps(params, x)
 
-    def loss_fn(t, frozen, x, y):
+    # mirror the Trainer's int8 wiring (engine/trainer.py): under
+    # TPU.INT8_FWD_TRAIN the frozen kernels are quantized ONCE per
+    # dispatch (hoisted out of the chained-step scan), and
+    # TPU.INT8_BWD_DX adds the pre-quantized transposed kernels for the
+    # SwitchBack dx backward — so the profiled step IS the production step
+    int8_fwd = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
+    int8_bwd_dx = bool(cfg.TPU.get("INT8_BWD_DX", False))
+    int8_targets = tuple(
+        cfg.TPU.get("INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"])
+    )
+
+    def loss_fn(t, frozen, qk, x, y):
         p = merge_params(t, frozen)
-        logits = model.apply({"params": p}, x, True)
+        variables = {"params": p}
+        if qk is not None:
+            variables["qkernel"] = qk
+        logits = model.apply(variables, x, True)
         return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
 
     grad_fn = jax.value_and_grad(loss_fn)
 
     @jax.jit
     def train_steps(state, frozen, x, y):
+        qk = None
+        if int8_fwd:
+            from ..ops.int8 import quantize_frozen_tree
+
+            qk = quantize_frozen_tree(
+                frozen, targets=int8_targets, bwd_dx=int8_bwd_dx
+            )
+
         def body(s, _):
-            loss, grads = grad_fn(s.trainable, frozen, x, y)
+            loss, grads = grad_fn(s.trainable, frozen, qk, x, y)
             return sgd_update(grads, s, 1e-3, 1e-4), loss
 
         state, losses = jax.lax.scan(body, state, None, length=k_chain)

@@ -216,6 +216,112 @@ class TestModel:
         assert losses_q[-1] < losses_q[0] * 0.5  # it actually learns
         assert losses_fp[-1] < losses_fp[0] * 0.5
 
+    def _apply_variants(self):
+        """(name, loss_and_grad callable) for dense / int8-fwd /
+        int8-fwd+int8-dx, the latter two through the PRE-QUANTIZED
+        per-dispatch path the Trainer and bench use (quantize_frozen_tree
+        outside the step; Int8Dense picks the dx backward iff wt_i8 is
+        present)."""
+        from peft_vit_tpu.ops.int8 import quantize_frozen_tree
+
+        def dense(trainable, frozen, x, y):
+            return jax.value_and_grad(_loss_fn(_model(False)))(
+                trainable, frozen, x, y
+            )
+
+        def prequant(bwd_dx):
+            model = _model(True)
+
+            def f(trainable, frozen, x, y):
+                qk = quantize_frozen_tree(frozen, bwd_dx=bwd_dx)
+
+                def loss(tr):
+                    p = merge_params(tr, frozen)
+                    logits = model.apply(
+                        {"params": p, "qkernel": qk}, x, True
+                    )
+                    lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                    return -jnp.mean(
+                        jnp.take_along_axis(lp, y[:, None], axis=-1)
+                    )
+
+                return jax.value_and_grad(loss)(trainable)
+
+            return f
+
+        return [
+            ("dense", dense),
+            ("int8_fwd", prequant(False)),
+            ("int8_fwd_dx", prequant(True)),
+        ]
+
+    def test_dx_lora_grads_close_to_dense(self):
+        """TPU.INT8_BWD_DX model-level gate: LoRA gradients under the
+        int8-dx backward stay within cosine 0.98 of the dense path (the
+        dx GEMM itself is int8 vs the fwd-only path's exact bf16 dx, so
+        the tolerance is one notch looser than the 0.99 fwd-only gate)."""
+        trainable, frozen, x, y = self._setup()
+        variants = dict(self._apply_variants())
+        l_fp, g_fp = variants["dense"](trainable, frozen, x, y)
+        l_dx, g_dx = variants["int8_fwd_dx"](trainable, frozen, x, y)
+        assert abs(float(l_fp) - float(l_dx)) < 0.05 * abs(float(l_fp)) + 1e-3
+        flat_dx = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_dx)
+        )
+        checked = 0
+        for k, v in jax.tree_util.tree_leaves_with_path(g_fp):
+            ks = jax.tree_util.keystr(k)
+            a = np.asarray(v)
+            if np.linalg.norm(a) < 1e-9:
+                continue
+            assert cos(a, flat_dx[ks]) > 0.98, (ks, cos(a, flat_dx[ks]))
+            checked += 1
+        assert checked >= 2
+
+    def test_dx_convergence_parity(self):
+        """The dx variant's 40-step trajectory tracks dense within the
+        same tolerances as the fwd-only gate, on the same worst-case
+        random-weight tiny tower."""
+        from peft_vit_tpu.engine import init_cell_state, sgd_update
+
+        trainable, frozen, _, _ = self._setup()
+        rng = np.random.RandomState(2)
+        y_np = np.tile(np.arange(5), 4)
+        x = rng.randn(20, 16, 16, 3).astype(np.float32) * 0.3
+        x += np.linspace(-1, 1, 5)[y_np][:, None, None, None]
+        x, y = jnp.asarray(x), jnp.asarray(y_np)
+        variants = dict(self._apply_variants())
+
+        def train(name):
+            grad_fn = variants[name]
+
+            @jax.jit
+            def step(state):
+                loss, grads = grad_fn(state.trainable, frozen, x, y)
+                return sgd_update(grads, state, 3e-3, 1e-4), loss
+
+            state = init_cell_state(jax.tree.map(jnp.copy, trainable))
+            losses = []
+            for _ in range(40):
+                state, loss = step(state)
+                losses.append(float(loss))
+            model = _model(name != "dense")
+            logits = model.apply(
+                {"params": merge_params(state.trainable, frozen)}, x, False
+            )
+            return np.asarray(losses), np.argmax(np.asarray(logits), -1)
+
+        losses_fp, pred_fp = train("dense")
+        losses_dx, pred_dx = train("int8_fwd_dx")
+        assert np.isfinite(losses_dx).all()
+        np.testing.assert_allclose(losses_dx, losses_fp, rtol=0.25, atol=0.02)
+        acc_fp = (pred_fp == y_np).mean()
+        acc_dx = (pred_dx == y_np).mean()
+        assert abs(acc_fp - acc_dx) <= 0.05, (acc_fp, acc_dx)
+        assert (pred_fp == pred_dx).mean() >= 0.85
+        assert losses_dx[-1] < losses_dx[0] * 0.5
+
     def test_factory_flag(self):
         from peft_vit_tpu.config import get_default_config
         from peft_vit_tpu.models.factory import build_image_classifier

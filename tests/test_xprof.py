@@ -135,6 +135,33 @@ class TestBuildStep:
         assert np.isfinite(l1) and np.isfinite(l2)
         assert l2 != l1  # state advanced between dispatches
 
+    def test_train_step_int8_dx_mirrors_trainer_wiring(self):
+        """Under TPU.INT8_FWD_TRAIN (+ INT8_BWD_DX) the profiled step
+        hoists quantize_frozen_tree per dispatch exactly like the
+        Trainer, so pvt_profile measures the production int8 step."""
+        from peft_vit_tpu.commands.profile import build_step
+        from peft_vit_tpu.config import get_default_config
+
+        cfg = get_default_config()
+        cfg.merge_from_list(
+            [
+                "TRAIN.IMAGE_SIZE", "[32,32]",
+                "MODEL.SPEC.VISION.WIDTH", "64",
+                "MODEL.SPEC.VISION.LAYERS", "1",
+                "MODEL.SPEC.VISION.HEADS", "2",
+                "MODEL.SPEC.VISION.PATCH_SIZE", "16",
+                "MODEL.NUM_CLASSES", "4",
+                "TPU.INT8_FWD_TRAIN", "True",
+                "TPU.INT8_BWD_DX", "True",
+            ]
+        )
+        cfg.freeze()
+        step = build_step(cfg, "lora", batch=2, mode="train", k_chain=2)
+        l1 = float(step())
+        l2 = float(step())
+        assert np.isfinite(l1) and np.isfinite(l2)
+        assert l2 != l1
+
 
 class TestCommand:
     def test_profile_cli_runs_on_cpu(self, tmp_path, capsys):
