@@ -9,6 +9,12 @@ Each case is <config>:<batch>:<k_chain>, measured with >= 4k-image
 timing windows; effective TF/s from XLA cost analysis of the jitted
 step (NB cost_analysis counts the lax.scan BODY once — per-image FLOPs
 are flops / batch, not / (batch * k_chain)).
+
+Data path matches bench.py (round 4): each chained step consumes its
+own batch sliced from a device-resident (K, B, H, W, C) uint8 chunk and
+normalized on device in the scan body — the production Trainer's
+raw-uint8 dispatch.  Transfer stays off the timed window (39 MB/s relay
+tunnel rationale, BASELINE.md).
 """
 import json
 import os
@@ -30,6 +36,17 @@ from peft_vit_tpu.models import ImageClassifier, VisionTransformer
 from peft_vit_tpu.peft import PEFTSpec, build_mask, merge_params, split_params
 
 DT = jnp.bfloat16
+
+# production normalize constants (config/default.py INPUT.MEAN/STD),
+# pre-scaled to the raw-uint8 range exactly like engine/trainer.py
+NORM_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32) * 255.0
+NORM_STD = np.asarray([0.229, 0.224, 0.225], np.float32) * 255.0
+
+
+def _norm(x):
+    mean = jnp.asarray(NORM_MEAN)
+    std = jnp.asarray(NORM_STD)
+    return ((x.astype(jnp.float32) - mean) / std).astype(DT)
 
 
 def vit(spec, method):
@@ -100,21 +117,23 @@ for case in sys.argv[1:]:
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step_fn(state, bn, frozen, x, y):
-        def body(carry, _):
+    def step_fn(state, bn, frozen, xs, ys):
+        def body(carry, inp):
             s, b = carry
-            (loss, b), grads = grad_fn(s.trainable, frozen, b, x, y)
+            x, y = inp
+            (loss, b), grads = grad_fn(s.trainable, frozen, b, _norm(x), y)
             return (sgd_update(grads, s, 1e-3, 1e-4), b), loss
 
-        (state, bn), losses = jax.lax.scan(
-            body, (state, bn), None, length=k_chain
-        )
+        (state, bn), losses = jax.lax.scan(body, (state, bn), (xs, ys))
         return state, bn, losses[-1]
 
     jstep = jax.jit(step_fn, donate_argnums=(0, 1))
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, 224, 224, 3).astype(np.float32), DT)
-    y = jnp.asarray(rng.randint(0, 100, batch))
+    # K distinct per-step batches, device-resident, transferred once
+    # outside the timed window (bench.py rationale)
+    x = jnp.asarray(rng.randint(
+        0, 256, (k_chain, batch, 224, 224, 3), dtype=np.uint8))
+    y = jnp.asarray(rng.randint(0, 100, (k_chain, batch)))
 
     # FLOPs of ONE step from cost analysis (k_chain steps per dispatch)
     lowered = jax.jit(step_fn, donate_argnums=(0, 1)).lower(

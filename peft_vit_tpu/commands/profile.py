@@ -63,6 +63,17 @@ def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
         rng.randn(batch, size, size, 3).astype(np.float32), dtype
     )
     y = jnp.asarray(rng.randint(0, max(num_classes, 2), batch))
+    # train mode profiles the production data path (bench.py / the
+    # Trainer's scan dispatch): per-step uint8 batches normalized on
+    # device, so the trace includes the real per-step input work
+    xs_u8 = jnp.asarray(rng.randint(
+        0, 256, (k_chain, batch, size, size, 3), dtype=np.uint8
+    ))
+    ys = jnp.asarray(
+        rng.randint(0, max(num_classes, 2), (k_chain, batch))
+    )
+    norm_mean = jnp.asarray(cfg.INPUT.MEAN, jnp.float32) * 255.0
+    norm_std = jnp.asarray(cfg.INPUT.STD, jnp.float32) * 255.0
 
     if mode == "eval":
         # params enter as arguments, never as closed-over constants — a
@@ -82,16 +93,26 @@ def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
 
         return lambda: eval_steps(params, x)
 
-    # mirror the Trainer's int8 wiring (engine/trainer.py): under
-    # TPU.INT8_FWD_TRAIN the frozen kernels are quantized ONCE per
-    # dispatch (hoisted out of the chained-step scan), and
-    # TPU.INT8_BWD_DX adds the pre-quantized transposed kernels for the
-    # SwitchBack dx backward — so the profiled step IS the production step
+    # mirror the Trainer's int8 wiring (engine/trainer.py _frozen_qk):
+    # under TPU.INT8_FWD_TRAIN the frozen kernels are quantized ONCE PER
+    # RUN (outside the jitted step entirely — the tower never changes),
+    # and TPU.INT8_BWD_DX adds the pre-quantized transposed kernels for
+    # the SwitchBack dx backward — so the profiled step IS the
+    # production step
     int8_fwd = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
     int8_bwd_dx = bool(cfg.TPU.get("INT8_BWD_DX", False))
     int8_targets = tuple(
         cfg.TPU.get("INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"])
     )
+    qk0 = None
+    if int8_fwd:
+        from ..ops.int8 import quantize_frozen_tree
+
+        qk0 = jax.jit(
+            lambda f: quantize_frozen_tree(
+                f, targets=int8_targets, bwd_dx=int8_bwd_dx
+            )
+        )(frozen)
 
     def loss_fn(t, frozen, qk, x, y):
         p = merge_params(t, frozen)
@@ -104,27 +125,23 @@ def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
     grad_fn = jax.value_and_grad(loss_fn)
 
     @jax.jit
-    def train_steps(state, frozen, x, y):
-        qk = None
-        if int8_fwd:
-            from ..ops.int8 import quantize_frozen_tree
-
-            qk = quantize_frozen_tree(
-                frozen, targets=int8_targets, bwd_dx=int8_bwd_dx
-            )
-
-        def body(s, _):
+    def train_steps(state, frozen, qk, xs, ys):
+        def body(s, inp):
+            x, y = inp
+            x = (
+                (x.astype(jnp.float32) - norm_mean) / norm_std
+            ).astype(dtype)
             loss, grads = grad_fn(s.trainable, frozen, qk, x, y)
             return sgd_update(grads, s, 1e-3, 1e-4), loss
 
-        state, losses = jax.lax.scan(body, state, None, length=k_chain)
+        state, losses = jax.lax.scan(body, state, (xs, ys))
         return state, losses[-1]
 
     state = init_cell_state(trainable)
 
     def step():
         nonlocal state
-        state, loss = train_steps(state, frozen, x, y)
+        state, loss = train_steps(state, frozen, qk0, xs_u8, ys)
         return loss
 
     return step

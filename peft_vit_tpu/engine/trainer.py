@@ -200,6 +200,7 @@ class Trainer:
         self._norm_mean = jnp.asarray(cfg.INPUT.MEAN, jnp.float32) * 255.0
         self._norm_std = jnp.asarray(cfg.INPUT.STD, jnp.float32) * 255.0
 
+        self._qk_cache = None  # (frozen identity, device int8 tree)
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_fn)
         # set by the SIGTERM handler fit() installs (TPU preemption
@@ -324,9 +325,12 @@ class Trainer:
         opt_shardings = self._opt_shardings
 
         # TPU.INT8_FWD_TRAIN: quantize the frozen tower's kernels ONCE
-        # per dispatch (hoisted out of the chained-step scan below) —
-        # per-step weight quantization is the dominant overhead of the
-        # on-the-fly path (BASELINE.md round 4)
+        # per RUN — the tower is constant for the Trainer's whole life,
+        # so the int8 tree is computed outside the jitted step entirely
+        # (see _frozen_qk) and passed in device-resident.  Per-step
+        # weight quantization was measured as the dominant overhead of
+        # the on-the-fly path, and even per-dispatch requantization costs
+        # ~0.5% at k=32 (BASELINE.md round 4).
         int8_fwd = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
         int8_targets = tuple(
             cfg.TPU.get(
@@ -344,6 +348,8 @@ class Trainer:
             return quantize_frozen_tree(
                 frozen, targets=int8_targets, bwd_dx=int8_bwd_dx
             )
+
+        self._quantize_frozen = _qk if int8_fwd else None
 
         def train_step_inner(state, frozen, qk, x, y, rng, epoch):
             (loss, (logits, new_stats)), grads = grad_fn(
@@ -381,19 +387,15 @@ class Trainer:
             )
             return new_state, loss, logits
 
-        def train_step(state: FullTrainState, frozen, x, y, rng, epoch):
-            return train_step_inner(
-                state, frozen, _qk(frozen), x, y, rng, epoch
-            )
+        def train_step(state: FullTrainState, frozen, qk, x, y, rng, epoch):
+            return train_step_inner(state, frozen, qk, x, y, rng, epoch)
 
         # TPU.STEPS_PER_DISPATCH > 1: scan K steps inside one jitted call
         # over a (K, B, ...) chunk.  One host->device transfer + one
         # dispatch per K steps — amortizes per-dispatch host cost exactly
         # like bench.py's k_chain, and is the production shape for
         # environments where dispatch/transfer latency is material.
-        def train_step_scan(state, frozen, xs, ys, rng, epoch):
-            qk = _qk(frozen)  # once per dispatch, scan-invariant
-
+        def train_step_scan(state, frozen, qk, xs, ys, rng, epoch):
             def body(carry, inp):
                 s, r = carry
                 r, sub = jax.random.split(r)
@@ -421,15 +423,32 @@ class Trainer:
             self._train_step_scan = jax.jit(
                 train_step_scan,
                 donate_argnums=(0,),
-                in_shardings=(None, None, csh, csh, rep, rep),
+                in_shardings=(None, None, None, csh, csh, rep, rep),
             )
             return jax.jit(
                 train_step,
                 donate_argnums=(0,),
-                in_shardings=(None, None, bsh, bsh, rep, rep),
+                in_shardings=(None, None, None, bsh, bsh, rep, rep),
             )
         self._train_step_scan = jax.jit(train_step_scan, donate_argnums=(0,))
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _frozen_qk(self):
+        """The device-resident int8 tree for TPU.INT8_FWD_TRAIN.
+
+        The frozen tower never changes during a run, so its kernels are
+        quantized exactly once (first dispatch) and reused for every
+        step thereafter — the k->infinity limit of the old per-dispatch
+        amortization, for free at any STEPS_PER_DISPATCH.  Keyed on the
+        frozen tree's identity so a caller that swaps ``self.frozen``
+        (e.g. loading a different checkpoint) gets a fresh tree.
+        """
+        if self._quantize_frozen is None:
+            return None
+        if self._qk_cache is None or self._qk_cache[0] is not self.frozen:
+            qk = jax.jit(self._quantize_frozen)(self.frozen)
+            self._qk_cache = (self.frozen, qk)
+        return self._qk_cache[1]
 
     def _eval_fn(self, trainable, frozen, batch_stats, x):
         params = merge_params(trainable, frozen)
@@ -546,6 +565,7 @@ class Trainer:
                 self.state, loss = self._train_step_scan(
                     self.state,
                     self.frozen,
+                    self._frozen_qk(),
                     _as_device(xs),
                     _as_device(ys),
                     step_rng,
@@ -560,6 +580,7 @@ class Trainer:
                 self.state, loss, _ = self._train_step(
                     self.state,
                     self.frozen,
+                    self._frozen_qk(),
                     _as_device(x),
                     _as_device(y),
                     step_rng,

@@ -343,3 +343,70 @@ class TestModel:
         x = jnp.zeros((2, 16, 16, 3))
         out = model.apply({"params": variables["params"]}, x, True)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTrainerPerRunPrequant:
+    """The production Trainer quantizes the frozen tower ONCE PER RUN
+    (engine/trainer.py _frozen_qk) — the k->infinity limit of dispatch
+    -level amortization, since the tower never changes.  Gate: an int8
+    Trainer run learns, through both the single-step and the
+    STEPS_PER_DISPATCH scan dispatch, and the quantized tree is built
+    exactly once."""
+
+    def _run(self, k_disp):
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.data import synthetic_dataset
+        from peft_vit_tpu.engine.trainer import Trainer, batch_iterator
+
+        cfg = get_default_config()
+        cfg.DATASET.DATASET = "synthetic"
+        cfg.DATASET.NUM_CLASSES = 4
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+        cfg.TRAIN.END_EPOCH = 6
+        cfg.TRAIN.LR = 0.05
+        cfg.TPU.INT8_FWD_TRAIN = True
+        cfg.TPU.INT8_BWD_DX = True
+        cfg.TPU.STEPS_PER_DISPATCH = k_disp
+        cfg.TPU.PREFETCH_DEPTH = 0
+
+        vit = VisionTransformer(
+            image_size=16, patch_size=8, width=32, layers=2, heads=2,
+            style="timm", use_flash=False, int8_train=True,
+            spec=PEFTSpec(method="lora", attn_delta="lora",
+                          lora_rank=2, lora_alpha=8.0),
+        )
+        model = ImageClassifier(backbone=vit, num_classes=4)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+        )["params"]
+        mask = build_mask(params, "lora", num_layers=2)
+
+        x, y = synthetic_dataset(4, 16, 16)
+        x = x.astype(np.float32) / 255.0
+        trainer = Trainer(cfg, model, params, mask, steps_per_epoch=8)
+        s0 = trainer.train_one_epoch(
+            batch_iterator(x, y, 8, seed=0), epoch=0
+        )
+        cache_after_first = trainer._qk_cache
+        assert cache_after_first is not None
+        assert cache_after_first[0] is trainer.frozen
+        stats = s0
+        for e in range(1, 6):
+            stats = trainer.train_one_epoch(
+                batch_iterator(x, y, 8, seed=e), epoch=e
+            )
+        # per-RUN: the cached tree object is the same one throughout
+        assert trainer._qk_cache is cache_after_first
+        assert stats["loss"] < s0["loss"]
+        acc = trainer.evaluate(
+            batch_iterator(x, y, 8, shuffle=False, drop_last=False)
+        )
+        assert acc > 30.0, acc
+
+    def test_single_step_dispatch(self):
+        self._run(1)
+
+    def test_scan_dispatch(self):
+        self._run(2)

@@ -137,8 +137,9 @@ class TestBuildStep:
 
     def test_train_step_int8_dx_mirrors_trainer_wiring(self):
         """Under TPU.INT8_FWD_TRAIN (+ INT8_BWD_DX) the profiled step
-        hoists quantize_frozen_tree per dispatch exactly like the
-        Trainer, so pvt_profile measures the production int8 step."""
+        consumes the per-RUN pre-quantized tree exactly like the
+        Trainer (_frozen_qk), so pvt_profile measures the production
+        int8 step."""
         from peft_vit_tpu.commands.profile import build_step
         from peft_vit_tpu.config import get_default_config
 
