@@ -15,9 +15,18 @@ the metric definitions natively so the caption harness runs offline:
   stages, harmonic F-mean and chunk fragmentation penalty (Lavie &
   Agarwal 2007; the synonym stage engages only when the local nltk
   wordnet corpus is present, same gating as commands/extract_knowledge)
-* SPICE — NOT implemented: it requires the Java Stanford scene-graph
-  parser (a dependency even the reference ships out-of-band); recorded
-  as an explicit exclusion in PARITY.md
+* SPICE — semantic-propositional F1 over scene-graph tuples (Anderson
+  et al. 2016).  DOCUMENTED DEVIATION: the reference's evaluator wraps
+  the Java Stanford PCFG + dependency scene-graph pipeline
+  (image_caption_evaluator.py:11,29-30 via vision_evaluation's
+  SPICEScoreEvaluator); this module extracts the graph with a
+  rule-based chunker tuned to caption English (closed-class function
+  -word lists, light morphological lemmatisation) instead of a learned
+  parser, then scores tuples with SPICE's own binary-match F1, with
+  the WordNet-synonym tuple matching gated on the local nltk corpus
+  exactly like METEOR's synonym stage.  Parse differences move
+  individual tuples, so absolute values differ from the Java pipeline;
+  the tuple algebra and scoring are SPICE's.  See PARITY.md.
 """
 
 from __future__ import annotations
@@ -273,14 +282,200 @@ def meteor(
     return 100.0 * sum(scores) / max(len(scores), 1)
 
 
+# ---------------------------------------------------------------------------
+# SPICE (rule-based scene graph; see module docstring for the deviation)
+# ---------------------------------------------------------------------------
+
+_DETERMINERS = {
+    "a", "an", "the", "this", "that", "these", "those", "some", "any",
+    "each", "every", "no", "its", "his", "her", "their", "our", "my",
+    "your",
+}
+_COPULAS = {"is", "are", "was", "were", "be", "being", "been", "am"}
+_CONJUNCTIONS = {"and", "or", "while", "as", "but"}
+_PREPOSITIONS = {
+    "on", "in", "at", "of", "with", "by", "near", "under", "over",
+    "above", "below", "behind", "beside", "between", "through",
+    "across", "against", "along", "around", "atop", "inside",
+    "outside", "onto", "into", "upon", "beneath", "during", "off",
+    "to", "from", "next",
+}
+_NUMBERS = {
+    "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "several", "many", "few",
+}
+# Common caption verbs that lack the -ing/-s surface cue.
+_BARE_VERBS = {
+    "sit", "stand", "ride", "hold", "wear", "walk", "run", "jump",
+    "play", "eat", "look", "fly", "lay", "lie", "rest", "hang",
+    "stands", "sits", "rides", "holds", "wears", "walks", "runs",
+    "jumps", "plays", "eats", "looks", "flies", "lays", "lies",
+    "rests", "hangs",
+}
+_SKIP = {"there", "very", "also", "it", "they", "he", "she", "who", "which"}
+
+
+def _lemma(word: str) -> str:
+    """Light morphological normaliser standing in for the Java
+    pipeline's lemmatiser: -ing verbs to base (doubled consonant and
+    e-drop handled), 3rd-person/plural -s stripped."""
+    w = word
+    if len(w) > 5 and w.endswith("ing"):
+        stem = w[:-3]
+        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
+            return stem[:-1]  # running -> run
+        if stem and stem[-1] not in "aeiou" and w[:-3] + "e" in _SPICE_E_VERBS:
+            return stem + "e"  # riding -> ride
+        return stem
+    if len(w) > 3 and w.endswith("ies"):
+        return w[:-3] + "y"  # flies -> fly
+    if len(w) > 3 and w.endswith("es"):
+        stem = w[:-2]
+        if stem.endswith(("ss", "x", "z", "ch", "sh", "o")):
+            return stem  # watches -> watch, glasses -> glass
+    if len(w) > 3 and w.endswith("s") and not w.endswith("ss"):
+        return w[:-1]
+    return w
+
+
+_SPICE_E_VERBS = {"ride", "smile", "slide", "dance", "skate", "bike", "race"}
+
+
+def _is_relation_word(w: str) -> bool:
+    return (
+        w in _PREPOSITIONS
+        or w in _BARE_VERBS
+        or (len(w) > 4 and w.endswith("ing"))
+    )
+
+
+def scene_graph(caption: str) -> set:
+    """Rule-based caption scene graph as SPICE tuples: (obj,) objects,
+    (obj, attr) attributes, (subj, rel, obj) relations.  Noun phrases
+    are chunked between relation words (prepositions / verbs); the
+    phrase head is its last content word, preceding content words and
+    number words are its attributes."""
+    raw = [
+        t
+        for t in caption.lower().replace(",", " , ").split()
+        if t not in _DETERMINERS and t not in _SKIP
+    ]
+    tuples: set = set()
+    # segment into alternating NP / relation runs
+    segments: List[Tuple[str, List[str]]] = []  # ("np"|"rel", words)
+    for tok in raw:
+        if tok == "," or tok in _CONJUNCTIONS:
+            segments.append(("brk", []))
+            continue
+        if tok in _COPULAS:
+            # copula starts a relation run only if followed by a
+            # relation word ("is sitting on"); bare copula ("dog is
+            # brown") attaches what follows to the previous head.
+            segments.append(("cop", []))
+            continue
+        kind = "rel" if _is_relation_word(tok) else "np"
+        if segments and segments[-1][0] == kind:
+            segments[-1][1].append(tok)
+        else:
+            segments.append((kind, [tok]))
+
+    heads: List[str] = []  # NP heads in order, for relation linking
+    pending_rel: List[str] = []
+    after_bare_copula = False
+    for kind, words in segments:
+        if kind == "brk":
+            pending_rel = []
+            after_bare_copula = False
+            continue
+        if kind == "cop":
+            after_bare_copula = True
+            continue
+        if kind == "rel":
+            pending_rel = [_lemma(w) for w in words]
+            after_bare_copula = False
+            continue
+        # noun phrase
+        lemmas = [_lemma(w) for w in words]
+        if after_bare_copula and heads and not pending_rel:
+            # "the dog is brown" -> (dog, brown)
+            for w in lemmas:
+                tuples.add((heads[-1], w))
+            after_bare_copula = False
+            continue
+        head = lemmas[-1]
+        tuples.add((head,))
+        for w in lemmas[:-1]:
+            tuples.add((head, w))
+        for w in words[:-1]:
+            if w in _NUMBERS:
+                tuples.add((head, w))
+        if pending_rel and heads:
+            tuples.add((heads[-1], " ".join(pending_rel), head))
+        pending_rel = []
+        heads.append(head)
+    # a trailing relation run with no object is still a unary action:
+    # "a dog running" -> (dog, run) attribute, as SPICE does
+    if segments and segments[-1][0] == "rel" and heads:
+        for w in segments[-1][1]:
+            tuples.add((heads[-1], _lemma(w)))
+    return tuples
+
+
+def _tuple_match(a: tuple, b: tuple, synsets) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        if synsets is not None and (
+            x in synsets(y) or y in synsets(x)
+        ):
+            continue
+        return False
+    return True
+
+
+def spice(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+) -> float:
+    """Mean SPICE F1 in percent: candidate scene graph vs the UNION of
+    the reference graphs (Anderson et al. 2016 §3.2), binary tuple
+    matching with WordNet-synonym equivalence when the local corpus is
+    present (same gating as METEOR's synonym stage)."""
+    synsets = _wordnet_synsets()
+    scores = []
+    for cand, refs in zip(candidates, references):
+        cg = scene_graph(cand)
+        rg: set = set()
+        for r in refs:
+            rg |= scene_graph(r)
+        if not cg or not rg:
+            scores.append(0.0)
+            continue
+        matched = sum(
+            1
+            for t in cg
+            if any(_tuple_match(t, u, synsets) for u in rg)
+        )
+        p = matched / len(cg)
+        rec = sum(
+            1
+            for u in rg
+            if any(_tuple_match(u, t, synsets) for t in cg)
+        ) / len(rg)
+        f1 = 2 * p * rec / (p + rec) if (p + rec) > 0 else 0.0
+        scores.append(f1)
+    return 100.0 * sum(scores) / max(len(scores), 1)
+
+
 def coco_caption_metrics(
     candidates: Sequence[str],
     references: Sequence[Sequence[str]],
     metrics: str = "Bleu,METEOR,ROUGE_L,CIDEr",
 ) -> Dict[str, float]:
     """Metric families selected EXACTLY like the reference's
-    image_caption_evaluator (TEST.METRIC.split(',')); a requested SPICE
-    logs the documented exclusion instead of failing the run."""
+    image_caption_evaluator (TEST.METRIC.split(','))."""
     wanted = [m.strip() for m in str(metrics).split(",") if m.strip()]
     out: Dict[str, float] = {}
     if "Bleu" in wanted:
@@ -295,10 +490,5 @@ def coco_caption_metrics(
     if "CIDEr" in wanted:
         out["CIDEr"] = cider_d(candidates, references)
     if "SPICE" in wanted:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "SPICE requested but excluded (needs the Java scene-graph "
-            "parser; see PARITY.md)"
-        )
+        out["SPICE"] = spice(candidates, references)
     return out

@@ -82,8 +82,10 @@ def image_caption_eval(
     metrics: str = "Bleu,METEOR,ROUGE_L,CIDEr",
 ) -> Dict[str, float]:
     """Caption benchmark with the COCO toolkit metric set (BLEU-1..4,
-    METEOR, ROUGE-L, CIDEr-D — engine.caption_metrics implements the
-    published formulas natively, replacing pycocoevalcap).  ``metrics``
+    METEOR, ROUGE-L, CIDEr-D, SPICE — engine.caption_metrics implements
+    the published formulas natively, replacing pycocoevalcap; SPICE's
+    scene graph comes from a rule-based parser, see PARITY.md).
+    ``metrics``
     takes the reference's comma-separated TEST.METRIC families
     (image_caption_evaluator.py:21-29)."""
     from .caption_metrics import coco_caption_metrics

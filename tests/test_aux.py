@@ -156,9 +156,63 @@ class TestCaption:
         assert set(only_bleu) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"}
         m = coco_caption_metrics(cands, refs, metrics="METEOR,CIDEr")
         assert set(m) == {"METEOR", "CIDEr"}
-        # SPICE is a documented exclusion: logged, never a crash
         s = coco_caption_metrics(cands, refs, metrics="SPICE")
-        assert s == {}
+        assert set(s) == {"SPICE"}
+
+    def test_spice_scene_graph_hand_computed(self):
+        """Rule-based scene graph extraction (documented deviation from
+        the Java pipeline, image_caption_evaluator.py:11,29-30)."""
+        from peft_vit_tpu.engine.caption_metrics import scene_graph
+
+        assert scene_graph("a brown dog runs on the green grass") == {
+            ("dog",),
+            ("dog", "brown"),
+            ("dog", "run on", "grass"),
+            ("grass",),
+            ("grass", "green"),
+        }
+        # copula + adjective attaches as an attribute
+        assert scene_graph("the dog is brown") == {
+            ("dog",),
+            ("dog", "brown"),
+        }
+        # number words are attributes; -ing verbs lemmatise to base
+        assert scene_graph("two men riding horses on a beach") == {
+            ("men",),
+            ("men", "two"),
+            ("men", "ride", "horse"),
+            ("horse",),
+            ("horse", "on", "beach"),
+            ("beach",),
+        }
+        # trailing verb with no object becomes a unary action attribute
+        assert scene_graph("a dog running") == {("dog",), ("dog", "run")}
+
+    def test_spice_f1_hand_computed(self):
+        """SPICE tuple F1 vs the UNION of reference graphs (Anderson
+        et al. 2016 sec 3.2)."""
+        from peft_vit_tpu.engine.caption_metrics import spice
+
+        # identical graphs -> 100
+        assert spice(["a brown dog"], [["a brown dog"]]) == pytest.approx(
+            100.0
+        )
+        # disjoint graphs -> 0
+        assert spice(["blue car"], [["red bicycle"]]) == pytest.approx(0.0)
+        # cand graph {(dog,), (dog,brown), (dog,on,grass), (grass,)};
+        # ref union {(dog,), (dog,brown), (dog,run on,grass), (grass,)}:
+        # the relation tuples differ, so p = r = 3/4 -> F1 = 75
+        got = spice(
+            ["a brown dog on the grass"],
+            [["a brown dog runs on the grass", "the dog is brown"]],
+        )
+        assert got == pytest.approx(75.0, abs=1e-9)
+        # mean over images
+        two = spice(
+            ["a brown dog", "blue car"],
+            [["a brown dog"], ["red bicycle"]],
+        )
+        assert two == pytest.approx(50.0)
 
     def test_cider_rewards_specificity(self):
         from peft_vit_tpu.engine.caption_metrics import cider_d
