@@ -133,3 +133,56 @@ class TestTestModelCommand:
             ["Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"]
         ) <= set(out)
         assert out["Bleu_1"] > 0
+
+
+class TestDebugRun:
+    """pvt_debug: the unified driver under debug forensics — the
+    TPU-native replacement for the reference's scratch debugging
+    driver (commands/debugging.py, evaluation/debugging.py:549-620)."""
+
+    _TINY = [
+        "--method", "lora", "--lr", "0.02",
+        "DATASET.DATASET", "synthetic",
+        "DATASET.NUM_CLASSES", "4",
+        "DATASET.NUM_SAMPLES_PER_CLASS", "8",
+        "TRAIN.IMAGE_SIZE", "[16,16]",
+        "TRAIN.BATCH_SIZE_PER_GPU", "8",
+        "TRAIN.SCHEDULE", "[]",
+        "MODEL.NAME", "clip_tiny",
+        "MODEL.SPEC.EMBED_DIM", "32",
+        "MODEL.SPEC.VISION.PATCH_SIZE", "8",
+        "MODEL.SPEC.VISION.WIDTH", "32",
+        "MODEL.SPEC.VISION.LAYERS", "1",
+        "MODEL.SPEC.VISION.HEADS", "2",
+    ]
+
+    def test_debug_run_e2e(self, tmp_path, monkeypatch):
+        import jax
+
+        from peft_vit_tpu.commands.debug_run import main
+
+        monkeypatch.chdir(tmp_path)
+        np.random.seed(0)
+        score = main(self._TINY + ["OUTPUT_DIR", str(tmp_path)])
+        # debug mode defaults: sweep off, one epoch, anomaly detection
+        # armed; the run completes and returns a valid accuracy
+        assert 0.0 <= score <= 100.0
+        assert jax.config.jax_debug_nans
+        jax.config.update("jax_debug_nans", False)
+
+    def test_debug_run_flags_parse(self):
+        import argparse
+
+        from peft_vit_tpu.commands import debug_run
+        from peft_vit_tpu.commands.common import add_finetuning_args
+
+        parser = argparse.ArgumentParser()
+        add_finetuning_args(parser)
+        parser.add_argument("--no-jit", dest="no_jit", action="store_true")
+        parser.add_argument(
+            "--check-leaks", dest="check_leaks", action="store_true"
+        )
+        parser.add_argument("--full", action="store_true")
+        args = parser.parse_args(["--no-jit", "--check-leaks", "--full"])
+        assert args.no_jit and args.check_leaks and args.full
+        assert callable(debug_run.main)
