@@ -341,7 +341,18 @@ def _lemma(word: str) -> str:
 _SPICE_E_VERBS = {"ride", "smile", "slide", "dance", "skate", "bike", "race"}
 
 
+# -ing words that are nouns in caption English, not progressive verbs
+_ING_NOUNS = {
+    "building", "buildings", "painting", "paintings", "ceiling",
+    "railing", "clothing", "lightning", "evening", "morning",
+    "awning", "frosting", "icing", "topping", "seasoning", "dressing",
+    "clearing", "crossing", "landing", "opening", "railings",
+}
+
+
 def _is_relation_word(w: str) -> bool:
+    if w in _ING_NOUNS:
+        return False
     return (
         w in _PREPOSITIONS
         or w in _BARE_VERBS

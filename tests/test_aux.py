@@ -187,6 +187,13 @@ class TestCaption:
         }
         # trailing verb with no object becomes a unary action attribute
         assert scene_graph("a dog running") == {("dog",), ("dog", "run")}
+        # -ing NOUNS ("building", "painting") are not relation words
+        assert scene_graph("a tall building in the city") == {
+            ("building",),
+            ("building", "tall"),
+            ("building", "in", "city"),
+            ("city",),
+        }
 
     def test_spice_f1_hand_computed(self):
         """SPICE tuple F1 vs the UNION of reference graphs (Anderson
