@@ -320,6 +320,9 @@ def _lemma(word: str) -> str:
     pipeline's lemmatiser: -ing verbs to base (doubled consonant and
     e-drop handled), 3rd-person/plural -s stripped."""
     w = word
+    if w in _ING_NOUNS:
+        # noun, not a progressive verb: keep the -ing ("building")
+        return w[:-1] if w.endswith("ings") else w
     if len(w) > 5 and w.endswith("ing"):
         stem = w[:-3]
         if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
