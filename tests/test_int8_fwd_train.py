@@ -348,14 +348,17 @@ class TestModel:
 class TestTrainerPerRunPrequant:
     """The production Trainer quantizes the frozen tower ONCE PER RUN
     (engine/trainer.py _frozen_qk) — the k->infinity limit of dispatch
-    -level amortization, since the tower never changes.  Gate: an int8
-    Trainer run learns, through both the single-step and the
-    STEPS_PER_DISPATCH scan dispatch, and the quantized tree is built
-    exactly once."""
+    -level amortization, since the tower never changes.  Gate (VERDICT
+    r4 #2 rebuild): on a SEPARABLE task (the class-brightness blobs the
+    convergence-parity gate above uses — the old band task was pairwise
+    inseparable through the 8x8-patch frozen random embed, so even bf16
+    sat at chance) an int8 Trainer run LEARNS through both the
+    single-step and the STEPS_PER_DISPATCH scan dispatch, its final
+    accuracy AGREES with a bf16 control run, and the quantized tree is
+    built exactly once."""
 
-    def _run(self, k_disp):
+    def _run(self, k_disp, int8):
         from peft_vit_tpu.config import get_default_config
-        from peft_vit_tpu.data import synthetic_dataset
         from peft_vit_tpu.engine.trainer import Trainer, batch_iterator
 
         cfg = get_default_config()
@@ -366,14 +369,14 @@ class TestTrainerPerRunPrequant:
         cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
         cfg.TRAIN.END_EPOCH = 6
         cfg.TRAIN.LR = 0.05
-        cfg.TPU.INT8_FWD_TRAIN = True
-        cfg.TPU.INT8_BWD_DX = True
+        cfg.TPU.INT8_FWD_TRAIN = int8
+        cfg.TPU.INT8_BWD_DX = int8
         cfg.TPU.STEPS_PER_DISPATCH = k_disp
         cfg.TPU.PREFETCH_DEPTH = 0
 
         vit = VisionTransformer(
             image_size=16, patch_size=8, width=32, layers=2, heads=2,
-            style="timm", use_flash=False, int8_train=True,
+            style="timm", use_flash=False, int8_train=int8,
             spec=PEFTSpec(method="lora", attn_delta="lora",
                           lora_rank=2, lora_alpha=8.0),
         )
@@ -383,30 +386,49 @@ class TestTrainerPerRunPrequant:
         )["params"]
         mask = build_mask(params, "lora", num_layers=2)
 
-        x, y = synthetic_dataset(4, 16, 16)
-        x = x.astype(np.float32) / 255.0
+        # separable: class-coded global brightness (same recipe as
+        # TestModel.test_convergence_parity) — bf16 and int8 both reach
+        # 100% here, so a chance-level result is a real regression
+        rng = np.random.RandomState(2)
+        y = np.tile(np.arange(4), 16)
+        x = rng.randn(64, 16, 16, 3).astype(np.float32) * 0.3
+        x += np.linspace(-1, 1, 4)[y][:, None, None, None]
+
         trainer = Trainer(cfg, model, params, mask, steps_per_epoch=8)
         s0 = trainer.train_one_epoch(
             batch_iterator(x, y, 8, seed=0), epoch=0
         )
         cache_after_first = trainer._qk_cache
-        assert cache_after_first is not None
-        assert cache_after_first[0] is trainer.frozen
+        if int8:
+            assert cache_after_first is not None
+            assert cache_after_first[0] is trainer.frozen
+        else:
+            assert cache_after_first is None
         stats = s0
         for e in range(1, 6):
             stats = trainer.train_one_epoch(
                 batch_iterator(x, y, 8, seed=e), epoch=e
             )
-        # per-RUN: the cached tree object is the same one throughout
-        assert trainer._qk_cache is cache_after_first
-        assert stats["loss"] < s0["loss"]
+        if int8:
+            # per-RUN: the cached tree object is the same one throughout
+            assert trainer._qk_cache is cache_after_first
+        assert stats["loss"] < 0.5 * s0["loss"], (stats["loss"], s0["loss"])
         acc = trainer.evaluate(
             batch_iterator(x, y, 8, shuffle=False, drop_last=False)
         )
-        assert acc > 30.0, acc
+        return acc
+
+    def _gate(self, k_disp):
+        acc_q = self._run(k_disp, int8=True)
+        acc_fp = self._run(k_disp, int8=False)
+        # both learn (well past the 25% chance level) ...
+        assert acc_q > 90.0, acc_q
+        assert acc_fp > 90.0, acc_fp
+        # ... and int8 agrees with the bf16 control
+        assert abs(acc_q - acc_fp) <= 5.0, (acc_q, acc_fp)
 
     def test_single_step_dispatch(self):
-        self._run(1)
+        self._gate(1)
 
     def test_scan_dispatch(self):
-        self._run(2)
+        self._gate(2)
