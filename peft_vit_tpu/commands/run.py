@@ -191,10 +191,30 @@ def finetune_main(cfg, out_dir: Optional[str] = None) -> float:
     metric_name = cfg.TEST.METRIC or metric_for_dataset(
         cfg.DATASET.DATASET
     )
+    # TPU.INT8_FWD_TRAIN: pre-quantize the frozen tower ONCE for the
+    # whole sweep (every cell shares it) — without this the Int8Dense
+    # layers fall back to re-quantizing the weights inside every step
+    qk = None
+    if bool(cfg.TPU.get("INT8_FWD_TRAIN", False)):
+        from ..ops.int8 import quantize_frozen_tree
+
+        int8_targets = tuple(
+            cfg.TPU.get(
+                "INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"]
+            )
+        )
+        qk = jax.jit(
+            lambda f: quantize_frozen_tree(
+                f,
+                targets=int8_targets,
+                bwd_dx=bool(cfg.TPU.get("INT8_BWD_DX", False)),
+            )
+        )(frozen)
     engine = SweepEngine(
         cfg, apply_fn, init_trainable, frozen, criterion,
         metric=metric_name,
         bn_template=variables.get("batch_stats"),
+        qkernel=qk,
     )
 
     batch = int(cfg.TRAIN.BATCH_SIZE_PER_GPU)

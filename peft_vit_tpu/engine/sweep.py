@@ -70,6 +70,7 @@ class SweepEngine:
         batch_size: Optional[int] = None,
         metric: str = "accuracy",
         bn_template=None,
+        qkernel=None,
     ):
         self.cfg = cfg
         # the dataset metric scores every cell, mirroring the reference's
@@ -80,6 +81,22 @@ class SweepEngine:
         from .metrics import get_metric
 
         self._metric_fn = get_metric(metric)
+        # TPU.INT8_FWD_TRAIN: the frozen tower is shared by EVERY cell of
+        # every round, so its Int8Dense kernels are pre-quantized exactly
+        # once per sweep (the caller passes the device-resident qkernel
+        # collection; see commands/run.py) and injected into each apply —
+        # the same per-run amortization the Trainer gets from _frozen_qk,
+        # on the reference's hottest workload (~78 trainings/dataset,
+        # adapter_tuning_clip.py:173-225)
+        self.qkernel = qkernel
+        if qkernel is not None:
+            base_apply = apply_fn
+
+            def apply_fn(variables, x, train, **kw):
+                return base_apply(
+                    dict(variables, qkernel=qkernel), x, train, **kw
+                )
+
         self.apply_fn = apply_fn
         self.init_trainable = init_trainable
         self.frozen = frozen

@@ -432,3 +432,116 @@ class TestTrainerPerRunPrequant:
 
     def test_scan_dispatch(self):
         self._gate(2)
+
+
+class TestSweepPrequant:
+    """TPU.INT8_FWD_TRAIN through the SWEEP engine (VERDICT r4 #5): the
+    frozen tower is shared by every sweep cell, so its Int8Dense kernels
+    are pre-quantized ONCE per sweep (SweepEngine(qkernel=...)) instead
+    of re-quantized inside every training step.  Gates: (a) a sweep cell
+    with the pre-quantized tree matches the per-call-quantize fallback
+    exactly (the prequant op is bit-identical to int8_matmul by
+    construction); (b) the qkernel collection is actually CONSUMED by
+    the cells (corrupting it changes the logits); (c) finetune_main
+    wires the tree in (the reference's hottest loop,
+    adapter_tuning_clip.py:173-225)."""
+
+    def _mk(self, qkernel):
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.engine import SweepEngine, ce_per_example
+
+        model = _model(True)
+        x0 = jnp.zeros((1, 16, 16, 3))
+        params = model.init(jax.random.PRNGKey(0), x0)["params"]
+        mask = build_mask(params, "lora", num_layers=2)
+        _, frozen = split_params(params, mask)
+
+        def init_trainable(rng):
+            t, _ = split_params(model.init(rng, x0)["params"], mask)
+            return t
+
+        cfg = get_default_config()
+        cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+        cfg.TRAIN.SCHEDULE = []
+        engine = SweepEngine(
+            cfg,
+            lambda v, x, train: model.apply(v, x, train),
+            init_trainable,
+            frozen,
+            ce_per_example,
+            qkernel=qkernel,
+        )
+        return engine, frozen
+
+    def _task(self):
+        from peft_vit_tpu.engine import make_array_task
+
+        rng = np.random.RandomState(2)
+        y = np.tile(np.arange(5), 8)
+        x = rng.randn(40, 16, 16, 3).astype(np.float32) * 0.3
+        x += np.linspace(-1, 1, 5)[y][:, None, None, None]
+        return make_array_task(x[:24], y[:24], x[24:], y[24:], 8)
+
+    def test_prequant_matches_fallback_and_is_consumed(self):
+        from peft_vit_tpu.ops.int8 import quantize_frozen_tree
+
+        task = self._task()
+        eng_fb, frozen = self._mk(None)
+        qk = quantize_frozen_tree(frozen)
+        eng_q, _ = self._mk(qk)
+
+        s_fb = eng_fb.train_cells([3e-3], [1e-4], task, 3)
+        s_q = eng_q.train_cells([3e-3], [1e-4], task, 3)
+        # same quantize_cols output either way -> identical trajectories
+        np.testing.assert_array_equal(s_q, s_fb)
+
+        # consumption proof: a corrupted qkernel must change the cells'
+        # behavior (if the collection were silently dropped, scores
+        # would still match the fallback)
+        bad = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(a) if a.dtype == jnp.int8 else a, qk
+        )
+        eng_bad, _ = self._mk(bad)
+        s_bad = eng_bad.train_cells([3e-3], [1e-4], task, 3)
+        assert not np.array_equal(s_bad, s_fb), (s_bad, s_fb)
+
+    def test_finetune_main_wires_qkernel(self, monkeypatch, tmp_path):
+        import peft_vit_tpu.commands.run as run_mod
+        from peft_vit_tpu.config import get_default_config
+
+        seen = {}
+        real = run_mod.SweepEngine
+
+        class Spy(real):
+            def __init__(self, *a, **kw):
+                seen["qkernel"] = kw.get("qkernel")
+                super().__init__(*a, **kw)
+
+        monkeypatch.setattr(run_mod, "SweepEngine", Spy)
+
+        cfg = get_default_config()
+        cfg.OUTPUT_DIR = str(tmp_path)
+        cfg.DATASET.DATASET = "synthetic"
+        cfg.DATASET.NUM_CLASSES = 4
+        cfg.DATASET.NUM_SAMPLES_PER_CLASS = 8
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+        cfg.TRAIN.END_EPOCH = 2
+        cfg.TRAIN.SCHEDULE = []
+        cfg.TRAIN.NO_TUNING = True
+        cfg.TRAIN.LR = 0.02
+        cfg.MODEL.NAME = "clip_tiny"
+        cfg.MODEL.SPEC.EMBED_DIM = 32
+        cfg.MODEL.SPEC.VISION.PATCH_SIZE = 8
+        cfg.MODEL.SPEC.VISION.WIDTH = 32
+        cfg.MODEL.SPEC.VISION.LAYERS = 2
+        cfg.MODEL.SPEC.VISION.HEADS = 2
+        cfg.PEFT.METHOD = "lora"
+        cfg.TPU.INT8_FWD_TRAIN = True
+        score = run_mod.finetune_main(cfg)
+        qk = seen["qkernel"]
+        assert qk is not None
+        # the tree holds int8 kernels for the frozen tower's targets
+        leaves = jax.tree_util.tree_leaves(qk)
+        assert any(a.dtype == jnp.int8 for a in leaves)
+        assert np.isfinite(score)
