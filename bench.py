@@ -12,17 +12,17 @@ which every named lever was built and measured negative.  3,000 img/s
 implies 213 TF/s sustained at 71 GFLOP/img — above nominal peak; the
 headline number is this part's measured limit for exact bf16 compute.
 
-Round-4 headline configuration: TPU.INT8_FWD_TRAIN + TPU.INT8_BWD_DX —
-the QLoRA-style forward (frozen tower's GEMMs int8 via per-dispatch
-pre-quantized weights) PLUS the SwitchBack-style backward: dx = g @ W^T
-through those frozen layers also rides the int8 MXU against the
-pre-quantized transposed kernel.  Sound because the tower is frozen (no
-dW exists through those GEMMs; LoRA's own dW stays exact); convergence
--gated in tests/test_int8_fwd_train.py and on chip (BASELINE.md round
-4).  Measured on the per-step data path below: 2,067 img/s (B=16, k=64,
-TPU.PATCH_EMBED_GEMM) vs 1,876 int8-fwd-only and 1,766 bf16 (+17%); on
-the earlier loop-invariant-batch path the same three read 2,142 / 1,939
-/ 1,833.  Per-fusion accounting in BASELINE.md round 4.
+Round-5 headline configuration: TPU.INT8_FWD_TRAIN + TPU.INT8_BWD_DX +
+TPU.INT8_STATIC_ACT — the QLoRA-style int8 forward and SwitchBack dx
+backward (round 4) with per-TENSOR STATIC activation scales calibrated
+once per run: the per-row dynamic absmax chains (13% of the round-4
+step at 2.9 TF/s) become saturating elementwise quantizes XLA fuses
+into the activation producers.  Convergence-gated (per-epoch
+recalibration + 1.5x margin; tests/test_int8_fwd_train.py
+test_static_act_*).  Measured on the per-step data path below: 2,148
+img/s (B=16, k=64, TPU.PATCH_EMBED_GEMM) vs 2,050 dynamic-quantize,
+1,876 int8-fwd-only, 1,766 bf16 (+21.6% over bf16).  Per-fusion
+accounting and the updated int8-aware roofline in BASELINE.md round 5.
 
 Configuration (all measured on v5e, see BASELINE.md):
 * bf16 fast path: attention scores (TPU.BF16_SOFTMAX) and LayerNorm
@@ -184,24 +184,29 @@ def main() -> None:
     # form's layout copies; k=64 halves the per-dispatch quantize
     # amortization cost).  fwd-only int8 and bf16 B=16 are the reference
     # points, 8 and 32 bracket the batch knee.
-    # Case = (batch, k_chain, int8, bwd_dx, patch_gemm).
+    # Case = (batch, k_chain, int8, bwd_dx, patch_gemm, static_act).
+    # static_act = TPU.INT8_STATIC_ACT: per-tensor calibrated activation
+    # scales (computed once outside the timed window, like the Trainer's
+    # per-epoch calibration) replace the per-row dynamic absmax chains
+    # the round-4 xprof measured at 13% of the step.
     cases = (
         [
-            (16, 64, True, True, True),
-            (16, 32, True, False, False),
-            (16, 32, False, False, False),
-            (8, 64, False, False, False),
-            (32, 16, False, False, False),
+            (16, 64, True, True, True, True),
+            (16, 64, True, True, True, False),
+            (16, 32, True, False, False, False),
+            (16, 32, False, False, False, False),
+            (8, 64, False, False, False, False),
         ]
         if on_tpu
-        else [(8, 2, False, False, False)]
+        else [(8, 2, False, False, False, False)]
     )
-    # targeted sweeps: PVT_BENCH_CASES="B:K:int8:dx:pg,..." (1/0 flags)
+    # targeted sweeps: PVT_BENCH_CASES="B:K:int8:dx:pg:st,..." (1/0 flags)
     env_cases = os.environ.get("PVT_BENCH_CASES", "")
     if env_cases:
         cases = [
-            (int(b), int(k), bool(int(i)), bool(int(d)), bool(int(g)))
-            for b, k, i, d, g in (
+            (int(b), int(k), bool(int(i)), bool(int(d)), bool(int(g)),
+             bool(int(s)))
+            for b, k, i, d, g, s in (
                 c.split(":") for c in env_cases.split(",") if c
             )
         ]
@@ -210,7 +215,9 @@ def main() -> None:
     deadline = time.perf_counter() + float(
         os.environ.get("PVT_BENCH_DEADLINE_S", "1500")
     )
-    for i, (batch, k_chain, int8, bwd_dx, patch_gemm) in enumerate(cases):
+    for i, (batch, k_chain, int8, bwd_dx, patch_gemm, static_act) in (
+        enumerate(cases)
+    ):
         if i > 0 and time.perf_counter() > deadline:
             break
         imodel = model
@@ -225,11 +232,13 @@ def main() -> None:
                 patch_gemm=patch_gemm,
             )
 
-        def loss_fn_i8(trainable, frozen, qk, x, y):
+        def loss_fn_i8(trainable, frozen, qkqs, x, y):
+            qk, qs = qkqs
             p = merge_params(trainable, frozen)
-            logits = imodel.apply(
-                {"params": p, "qkernel": qk}, x, True
-            )
+            variables = {"params": p, "qkernel": qk}
+            if qs is not None:  # TPU.INT8_STATIC_ACT
+                variables["qscale"] = qs
+            logits = imodel.apply(variables, x, True)
             return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
 
         gfn = jax.value_and_grad(loss_fn_i8) if int8 else grad_fn
@@ -243,6 +252,36 @@ def main() -> None:
             qk = jax.jit(
                 lambda f: quantize_frozen_tree(f, bwd_dx=bwd_dx)
             )(frozen)
+            qs = None
+            if static_act:
+                # per-run calibration, also outside the timed window —
+                # the Trainer recalibrates once per EPOCH, off the hot
+                # path (engine/trainer.py _qk_vars)
+                from peft_vit_tpu.ops.int8 import (
+                    activation_scales_from_stats,
+                )
+
+                rng0 = np.random.RandomState(7)
+                xc = jnp.asarray(rng0.randint(
+                    0, 256, (batch, 224, 224, 3), dtype=np.uint8
+                ))
+                mean = jnp.asarray(NORM_MEAN)
+                std = jnp.asarray(NORM_STD)
+
+                def _calib(tr, fr, x):
+                    p = merge_params(tr, fr)
+                    xn = ((x.astype(jnp.float32) - mean) / std).astype(
+                        jnp.bfloat16
+                    )
+                    _, st = imodel.apply(
+                        {"params": p}, xn, True, mutable=["qstats"]
+                    )
+                    return activation_scales_from_stats(
+                        st["qstats"], margin=1.5
+                    )
+
+                qs = jax.jit(_calib)(trainable, frozen, xc)
+            qk = (qk, qs)
         # donated state: each case needs its own copy
         state = init_cell_state(jax.tree.map(jnp.copy, trainable))
         # >= ~4k images per timing window
@@ -251,8 +290,8 @@ def main() -> None:
             step, state, frozen, qk, batch, k_chain, n_disp, warmup=1
         )
         print(
-            f"# case B={batch} k={k_chain} int8={int8} dx={bwd_dx}: "
-            f"{rate:.1f} img/s",
+            f"# case B={batch} k={k_chain} int8={int8} dx={bwd_dx} "
+            f"static={static_act}: {rate:.1f} img/s",
             file=sys.stderr,
             flush=True,
         )

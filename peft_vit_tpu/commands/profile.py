@@ -105,6 +105,7 @@ def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
         cfg.TPU.get("INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"])
     )
     qk0 = None
+    qs0 = None
     if int8_fwd:
         from ..ops.int8 import quantize_frozen_tree
 
@@ -113,12 +114,33 @@ def build_step(cfg, method: str, batch: int, mode: str, k_chain: int):
                 f, targets=int8_targets, bwd_dx=int8_bwd_dx
             )
         )(frozen)
+        if bool(cfg.TPU.get("INT8_STATIC_ACT", False)):
+            # per-run calibration, mirroring the Trainer's _qk_vars
+            from ..ops.int8 import activation_scales_from_stats
+
+            margin = float(cfg.TPU.get("INT8_CALIB_MARGIN", 1.5))
+
+            def _calib(t, f, x):
+                p = merge_params(t, f)
+                xn = (
+                    (x.astype(jnp.float32) - norm_mean) / norm_std
+                ).astype(dtype)
+                _, st = model.apply(
+                    {"params": p}, xn, True, mutable=["qstats"]
+                )
+                return activation_scales_from_stats(
+                    st["qstats"], margin=margin
+                )
+
+            qs0 = jax.jit(_calib)(trainable, frozen, xs_u8[0])
 
     def loss_fn(t, frozen, qk, x, y):
         p = merge_params(t, frozen)
         variables = {"params": p}
         if qk is not None:
             variables["qkernel"] = qk
+            if qs0 is not None:  # TPU.INT8_STATIC_ACT
+                variables["qscale"] = qs0
         logits = model.apply(variables, x, True)
         return jnp.mean(ce_per_example(logits.astype(jnp.float32), y))
 

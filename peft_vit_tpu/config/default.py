@@ -75,6 +75,17 @@ _C["TPU"] = CN(
         # (cotangent x frozen-weight^T) also runs on the int8 MXU using
         # per-dispatch pre-quantized transposed kernels; dw stays exact
         "INT8_BWD_DX": False,
+        # STATIC per-tensor activation scales for INT8_FWD_TRAIN,
+        # calibrated once per run on the first batch: replaces the
+        # per-row dynamic absmax (whose reduce chains measured 13% of
+        # the step at 2.9 TF/s, BASELINE.md round 4) with a saturating
+        # elementwise quantize XLA fuses into the activation producers;
+        # convergence-gated in tests/test_int8_fwd_train.py
+        "INT8_STATIC_ACT": False,
+        # saturation headroom multiplier on the calibrated absmax; the
+        # Trainer also recalibrates at every epoch start because the
+        # PEFT deltas drift the frozen tower's layer-input ranges
+        "INT8_CALIB_MARGIN": 1.5,
         # patchify via dot_general over (p, q, c) instead of the strided
         # conv.  Measured (BASELINE.md round-3): ties the conv on the
         # LoRA train step and on int8 eval, loses ~5% on bf16 eval at

@@ -283,8 +283,12 @@ class Trainer:
                     smoothing=smoothing,
                 )
             variables = {"params": params}
-            if qk is not None:  # TPU.INT8_FWD_TRAIN pre-quantized kernels
-                variables["qkernel"] = qk
+            if qk is not None:
+                # TPU.INT8_FWD_TRAIN: qk is a variables update holding
+                # the pre-quantized kernels ({"qkernel": ...}) and, under
+                # TPU.INT8_STATIC_ACT, the calibrated per-tensor
+                # activation scales ({"qscale": ...})
+                variables.update(qk)
             # DropBlock kwargs wired on EVERY apply path (ADVICE r3: a
             # FROZEN_BN ResNet takes the non-BN branch below and still
             # needs the 'dropblock' PRNG stream + anneal position)
@@ -350,6 +354,39 @@ class Trainer:
             )
 
         self._quantize_frozen = _qk if int8_fwd else None
+
+        # TPU.INT8_STATIC_ACT: per-tensor STATIC activation scales,
+        # calibrated once per run on the first batch (ops/int8.py
+        # int8_static_matmul) — removes the per-row absmax reduce the
+        # xprof showed at 2.9 TF/s for 13% of the step (BASELINE.md
+        # round 4); the elementwise quantize then fuses into the
+        # activation producers.  On preemption resume the scales are
+        # re-calibrated from the first resumed batch — the saturating
+        # static quantizer is tolerant to that batch-level jitter.
+        self._int8_static = int8_fwd and bool(
+            cfg.TPU.get("INT8_STATIC_ACT", False)
+        )
+        self._qscale = None
+        if self._int8_static:
+            from ..ops.int8 import activation_scales_from_stats
+
+            calib_margin = float(cfg.TPU.get("INT8_CALIB_MARGIN", 1.5))
+
+            def _calib(trainable, frozen, batch_stats, x):
+                params = merge_params(trainable, frozen)
+                if x.dtype == jnp.uint8 or transform is not None:
+                    x = (x.astype(jnp.float32) - norm_mean) / norm_std
+                variables = {"params": params}
+                mut = ["qstats"]
+                if has_bn:
+                    variables["batch_stats"] = batch_stats
+                    mut.append("batch_stats")  # BN update discarded
+                _, st = model.apply(variables, x, True, mutable=mut)
+                return activation_scales_from_stats(
+                    st["qstats"], margin=calib_margin
+                )
+
+            self._calibrate = jax.jit(_calib)
 
         def train_step_inner(state, frozen, qk, x, y, rng, epoch):
             (loss, (logits, new_stats)), grads = grad_fn(
@@ -450,6 +487,27 @@ class Trainer:
             self._qk_cache = (self.frozen, qk)
         return self._qk_cache[1]
 
+    def _qk_vars(self, x=None):
+        """The variables-update dict the jitted step consumes: the
+        per-run pre-quantized kernels plus, under TPU.INT8_STATIC_ACT,
+        the calibrated activation scales (calibrated lazily on the
+        first batch ``x`` seen)."""
+        qk = self._frozen_qk()
+        if qk is None:
+            return None
+        out = {"qkernel": qk}
+        if self._int8_static:
+            if self._qscale is None and x is not None:
+                self._qscale = self._calibrate(
+                    self.state.trainable,
+                    self.frozen,
+                    self.state.batch_stats,
+                    _as_device(x),
+                )
+            if self._qscale is not None:
+                out["qscale"] = self._qscale
+        return out
+
     def _eval_fn(self, trainable, frozen, batch_stats, x):
         params = merge_params(trainable, frozen)
         if self.train_transform is not None or x.dtype == jnp.uint8:
@@ -537,6 +595,15 @@ class Trainer:
     ) -> Dict[str, float]:
         cfg = self.cfg
         losses, seen = [], 0
+        if self._int8_static:
+            # recalibrate the static activation scales at every epoch
+            # start (first batch seen by _qk_vars): the PEFT deltas
+            # feed the residual stream, so layer-input ranges drift as
+            # training progresses — stale scales saturate and destroy
+            # convergence (measured on the CPU gate: learns to 0.03
+            # then diverges without this).  One un-jitted forward per
+            # epoch, off the hot path.
+            self._qscale = None
         # raw-batch position inside the epoch (starts past a resumed
         # prefix); mid-epoch checkpoints record it for exact-step resume
         consumed = int(start_batch)
@@ -565,7 +632,7 @@ class Trainer:
                 self.state, loss = self._train_step_scan(
                     self.state,
                     self.frozen,
-                    self._frozen_qk(),
+                    self._qk_vars(xs[0]),
                     _as_device(xs),
                     _as_device(ys),
                     step_rng,
@@ -580,7 +647,7 @@ class Trainer:
                 self.state, loss, _ = self._train_step(
                     self.state,
                     self.frozen,
-                    self._frozen_qk(),
+                    self._qk_vars(x),
                     _as_device(x),
                     _as_device(y),
                     step_rng,

@@ -81,6 +81,56 @@ def attention_reference(
     ).astype(q.dtype)
 
 
+def attention_bnhd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    softmax_fp32: bool = True,
+) -> jax.Array:
+    """Attention over (B, N, H, D) operands WITHOUT pre-splitting heads.
+
+    The classic layout path reshape+transposes q/k/v from (B, N, H*D)
+    to (B, H, N, D) before the score dot — three materialized layout
+    copies per layer that the round-5 ViT-B/16 xprof put inside the
+    14.5%-of-step "data formatting" class.  ``dot_general`` takes
+    arbitrary batch dimensions, so the same contraction runs directly
+    on the projection's natural (B, N, H, D) view (batch dims (0, 2)) —
+    the head split becomes a free reshape and only the final
+    head-merge transpose remains.
+
+    MEASURED NEGATIVE (BASELINE.md round 5): on the full ViT-B/16 LoRA
+    int8 train step this is an exact wash (2,147.7 vs 2,148.3 img/s) —
+    the data-formatting copies are XLA's LAYOUT ASSIGNMENT for the
+    batched attention dots, inserted whether or not the graph spells
+    the transposes out, so eliminating the explicit transpose ops moves
+    nothing.  Kept as a tested, documented negative so the lever is not
+    re-chased; the model path keeps the classic (B, H, N, D) layout.
+
+    Returns the merged (B, N, H*D).  Numerically identical to
+    :func:`attention_reference` up to float reassociation.
+    """
+    b, n, h, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    acc = jnp.float32 if softmax_fp32 else q.dtype
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=acc,
+    )  # (B, H, N, M)
+    p = jax.nn.softmax(s * jnp.asarray(scale, acc), axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((3,), (1,)), ((0, 1), (0, 2))),
+    )  # (B, H, N, D)
+    return (
+        o.transpose(0, 2, 1, 3).reshape(b, n, h * d).astype(q.dtype)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pallas flash-attention forward kernel
 # ---------------------------------------------------------------------------

@@ -283,6 +283,156 @@ def _i8pq2_bwd(res, g):
 int8_prequant_matmul_i8bwd.defvjp(_i8pq2_fwd, _i8pq2_bwd)
 
 
+def quantize_static(x: jax.Array, s_x: jax.Array) -> jax.Array:
+    """int8 quantize with a STATIC per-tensor scale: saturating, purely
+    elementwise — no per-row reduce, so XLA fuses the whole chain
+    (scale, round, clip, convert) into the activation's PRODUCER fusion
+    (the LN/GELU epilogue emits int8 directly).  This is the round-5
+    answer to the measured 13%-of-step dynamic-quantize chains
+    (BASELINE.md round 4): the per-row absmax reduce was the part XLA
+    could not fuse; a calibrated scalar removes it.
+
+    Unlike the dynamic path, values can exceed the calibrated range —
+    hence the clip (saturation, the standard static-quantization
+    semantics)."""
+    xf = x.astype(jnp.float32) / s_x
+    return jnp.clip(jnp.round(xf), -127.0, 127.0).astype(jnp.int8)
+
+
+def _static_forward(x, w_i8, s_w, s_x):
+    x_i8 = quantize_static(x, s_x)
+    acc = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * s_x * s_w.reshape(
+        (1,) * (x.ndim - 1) + (-1,)
+    )
+    return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def int8_static_matmul(
+    x: jax.Array,
+    w: jax.Array,
+    w_i8: jax.Array,
+    s_w: jax.Array,
+    s_x: jax.Array,
+) -> jax.Array:
+    """:func:`int8_prequant_matmul` with a STATIC per-tensor activation
+    scale (``s_x``, a calibrated scalar — see
+    :func:`activation_scales_from_stats`).  Backward is the dense dx/dw
+    (QLoRA recipe), identical to the prequant op's."""
+    return _static_forward(x, w_i8, s_w, s_x)
+
+
+def _i8st_fwd(x, w, w_i8, s_w, s_x):
+    return _static_forward(x, w_i8, s_w, s_x), (x, w)
+
+
+def _i8st_bwd(res, g):
+    import numpy as np
+
+    x, w = res
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    ).astype(x.dtype)
+    bdims = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((bdims, bdims), ((), ()))
+    ).astype(w.dtype)
+    k, n = w.shape
+    return (
+        dx,
+        dw,
+        np.zeros((k, n), jax.dtypes.float0),
+        jnp.zeros((1, n), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+
+
+int8_static_matmul.defvjp(_i8st_fwd, _i8st_bwd)
+
+
+@jax.custom_vjp
+def int8_static_matmul_i8bwd(
+    x: jax.Array,
+    w: jax.Array,
+    w_i8: jax.Array,
+    s_w: jax.Array,
+    wt_i8: jax.Array,
+    s_wt: jax.Array,
+    s_x: jax.Array,
+) -> jax.Array:
+    """Static-scale forward + int8 dx backward (SwitchBack).  The
+    cotangent g keeps the DYNAMIC per-row quantize: its magnitude decays
+    over training, so a calibrated static scale would saturate early
+    steps or waste range late — only the forward's activation scale is
+    static."""
+    return _static_forward(x, w_i8, s_w, s_x)
+
+
+def _i8st2_fwd(x, w, w_i8, s_w, wt_i8, s_wt, s_x):
+    return _static_forward(x, w_i8, s_w, s_x), (x, w, wt_i8, s_wt)
+
+
+def _i8st2_bwd(res, g):
+    import numpy as np
+
+    x, w, wt_i8, s_wt = res
+    dx = _prequant_forward(g, wt_i8, s_wt)
+    bdims = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((bdims, bdims), ((), ()))
+    ).astype(w.dtype)
+    k, n = w.shape
+    return (
+        dx,
+        dw,
+        np.zeros((k, n), jax.dtypes.float0),
+        jnp.zeros((1, n), jnp.float32),
+        np.zeros((n, k), jax.dtypes.float0),
+        jnp.zeros((1, k), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+
+
+int8_static_matmul_i8bwd.defvjp(_i8st2_fwd, _i8st2_bwd)
+
+
+def activation_scales_from_stats(stats, margin: float = 1.0) -> Any:
+    """Turn a calibration pass's ``qstats`` collection (per-Int8Dense
+    input absmax, sown by the module when the collection is mutable)
+    into the ``qscale`` collection the static ops consume: every
+    ``.../amax`` leaf becomes ``.../s_x = amax / 127``.
+
+    Calibrate with one (or a few max-reduced) representative forward
+    passes::
+
+        _, st = model.apply(variables, x, True, mutable=["qstats"])
+        qscale = activation_scales_from_stats(st["qstats"])
+        model.apply({**variables, "qscale": qscale}, ...)
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(stats)
+    out = {}
+    for path, leaf in flat.items():
+        if path[-1] != "amax":
+            continue
+        amax = jnp.max(jnp.asarray(leaf))  # sow tuples -> scalar
+        # margin > 1 leaves saturation headroom for activation drift
+        # between recalibrations (the PEFT deltas feed the residual
+        # stream, so even a frozen tower's layer inputs move as the
+        # adapters train)
+        out[path[:-1] + ("s_x",)] = jnp.maximum(
+            amax.astype(jnp.float32) * float(margin) / 127.0, 1e-8
+        )
+    return traverse_util.unflatten_dict(out)
+
+
 #: module names whose "kernel" is routed through Int8Dense by the models
 #: (the frozen tower's GEMMs: packed qkv + out proj + the MLP pair)
 INT8_TARGET_MODULES = ("in_proj", "out_proj", "c_fc", "c_proj")
@@ -348,20 +498,47 @@ class Int8Dense(nn.Module):
             (x.shape[-1], self.features),
             self.param_dtype,
         )
+        if self.train_bwd and self.is_mutable_collection("qstats"):
+            # calibration pass (TPU.INT8_STATIC_ACT): record this
+            # layer's input absmax; max-reduced across calls/batches
+            self.sow(
+                "qstats",
+                "amax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
         if self.train_bwd and self.has_variable("qkernel", "w_i8"):
             # pre-quantized weights supplied per dispatch
             # (quantize_frozen_tree) — skip the per-call weight quantize
             w_i8 = self.get_variable("qkernel", "w_i8")
             s_w = self.get_variable("qkernel", "s_w")
+            s_x = (
+                self.get_variable("qscale", "s_x")
+                if self.has_variable("qscale", "s_x")
+                else None
+            )
             if self.has_variable("qkernel", "wt_i8"):
                 # transposed tensors present -> int8 dx backward too
-                y = int8_prequant_matmul_i8bwd(
+                wt_i8 = self.get_variable("qkernel", "wt_i8")
+                s_wt = self.get_variable("qkernel", "s_wt")
+                if s_x is not None:
+                    y = int8_static_matmul_i8bwd(
+                        x.astype(self.dtype),
+                        kernel.astype(self.dtype),
+                        w_i8, s_w, wt_i8, s_wt, s_x,
+                    )
+                else:
+                    y = int8_prequant_matmul_i8bwd(
+                        x.astype(self.dtype),
+                        kernel.astype(self.dtype),
+                        w_i8, s_w, wt_i8, s_wt,
+                    )
+            elif s_x is not None:
+                y = int8_static_matmul(
                     x.astype(self.dtype),
                     kernel.astype(self.dtype),
-                    w_i8,
-                    s_w,
-                    self.get_variable("qkernel", "wt_i8"),
-                    self.get_variable("qkernel", "s_wt"),
+                    w_i8, s_w, s_x,
                 )
             else:
                 y = int8_prequant_matmul(

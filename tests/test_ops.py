@@ -29,6 +29,25 @@ class TestFlashAttention:
         # jnp reference; observed max |err| 7.2e-3 on CPU (fp32 inputs)
         np.testing.assert_allclose(out, ref, atol=1e-2, rtol=1e-2)
 
+    def test_bnhd_matches_reference(self):
+        """attention_bnhd (head-split-free layout; measured perf WASH on
+        chip, kept as a documented negative — see its docstring) must
+        equal the reference contraction and be differentiable."""
+        from peft_vit_tpu.ops.attention import attention_bnhd
+
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        b, n, h, d = 2, 17, 3, 8
+        q, k, v = (jax.random.normal(kk, (b, n, h, d)) for kk in ks)
+        bhnd = lambda t: t.transpose(0, 2, 1, 3)
+        ref = attention_reference(bhnd(q), bhnd(k), bhnd(v))
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        out = attention_bnhd(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
+        g = jax.grad(lambda q: attention_bnhd(q, k, v).sum())(q)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_bf16_softmax_close_to_fp32(self):
         ks = jax.random.split(jax.random.PRNGKey(1), 3)
         q, k, v = (
