@@ -184,40 +184,46 @@ def main() -> None:
     # form's layout copies; k=64 halves the per-dispatch quantize
     # amortization cost).  fwd-only int8 and bf16 B=16 are the reference
     # points, 8 and 32 bracket the batch knee.
-    # Case = (batch, k_chain, int8, bwd_dx, patch_gemm, static_act).
+    # Case = (batch, k_chain, int8, bwd_dx, patch_gemm, static_act[,
+    # int8_attn]).  int8_attn = TPU.INT8_ATTN: the attention QK^T / PV
+    # dots also ride the int8 MXU on statically-calibrated q/k/v scales
+    # (softmax output scale 1/127 is exact) — the last GEMM class the
+    # int8 recipe had not reached (round-5 xprof: 8.9% of step at 45.7
+    # TF/s).
     # static_act = TPU.INT8_STATIC_ACT: per-tensor calibrated activation
     # scales (computed once outside the timed window, like the Trainer's
     # per-epoch calibration) replace the per-row dynamic absmax chains
     # the round-4 xprof measured at 13% of the step.
     cases = (
         [
-            (16, 64, True, True, True, True),
-            (16, 64, True, True, True, False),
-            (16, 32, True, False, False, False),
-            (16, 32, False, False, False, False),
-            (8, 64, False, False, False, False),
+            (16, 64, True, True, True, True, True),
+            (16, 64, True, True, True, True, False),
+            (16, 64, True, True, True, False, False),
+            (16, 32, False, False, False, False, False),
         ]
         if on_tpu
-        else [(8, 2, False, False, False, False)]
+        else [(8, 2, False, False, False, False, False)]
     )
-    # targeted sweeps: PVT_BENCH_CASES="B:K:int8:dx:pg:st,..." (1/0 flags)
+    # targeted sweeps: PVT_BENCH_CASES="B:K:int8:dx:pg:st[:at],..."
     env_cases = os.environ.get("PVT_BENCH_CASES", "")
     if env_cases:
         cases = [
-            (int(b), int(k), bool(int(i)), bool(int(d)), bool(int(g)),
-             bool(int(s)))
-            for b, k, i, d, g, s in (
-                c.split(":") for c in env_cases.split(",") if c
+            tuple(
+                [int(f[0]), int(f[1])]
+                + [bool(int(v)) for v in f[2:6]]
+                + [bool(int(f[6])) if len(f) > 6 else False]
+                + [bool(int(f[7])) if len(f) > 7 else False]
             )
+            for f in (c.split(":") for c in env_cases.split(",") if c)
         ]
+    cases = [tuple(c) + (False,) * (8 - len(c)) for c in cases]
     # each cold compile costs minutes over the axon relay; stop launching
     # new cases past the soft deadline so one JSON line always prints
     deadline = time.perf_counter() + float(
         os.environ.get("PVT_BENCH_DEADLINE_S", "1500")
     )
-    for i, (batch, k_chain, int8, bwd_dx, patch_gemm, static_act) in (
-        enumerate(cases)
-    ):
+    for i, (batch, k_chain, int8, bwd_dx, patch_gemm, static_act,
+            int8_attn, int8_attn_pv) in enumerate(cases):
         if i > 0 and time.perf_counter() > deadline:
             break
         imodel = model
@@ -230,6 +236,8 @@ def main() -> None:
                 ln_fp32=False,
                 int8_train=int8,
                 patch_gemm=patch_gemm,
+                int8_attn=int8_attn and static_act,
+                int8_attn_pv=int8_attn_pv,
             )
 
         def loss_fn_i8(trainable, frozen, qkqs, x, y):
@@ -291,7 +299,8 @@ def main() -> None:
         )
         print(
             f"# case B={batch} k={k_chain} int8={int8} dx={bwd_dx} "
-            f"static={static_act}: {rate:.1f} img/s",
+            f"static={static_act} attn={int8_attn} pv={int8_attn_pv}: "
+            f"{rate:.1f} img/s",
             file=sys.stderr,
             flush=True,
         )

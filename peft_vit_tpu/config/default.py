@@ -82,6 +82,21 @@ _C["TPU"] = CN(
         # elementwise quantize XLA fuses into the activation producers;
         # convergence-gated in tests/test_int8_fwd_train.py
         "INT8_STATIC_ACT": False,
+        # TPU.INT8_ATTN: the attention QK^T dot ALSO runs on the int8
+        # MXU with calibrated static q/k scales.  MEASURED NEGATIVE on
+        # chip (BASELINE.md round 5: 1,933 vs 2,149 img/s — the N=197
+        # score dots are shape-bound, not MXU-rate-bound, and the
+        # quantize chains break XLA's fused attention); kept opt-in as
+        # a tested negative.  Requires INT8_STATIC_ACT for the
+        # calibration machinery; backward stays the bf16-exact
+        # attention VJP (ops/attention.int8_attention)
+        "INT8_ATTN": False,
+        # ALSO quantize the P @ V dot (softmax output at the exact 1/127
+        # scale).  Measured UNSTABLE in training — the attention-output
+        # quantization noise feeds the residual stream and diverges late
+        # runs (ops/attention.int8_attention docstring, CI gate
+        # tests/test_int8_fwd_train.py) — opt-in for measurement only
+        "INT8_ATTN_PV": False,
         # saturation headroom multiplier on the calibrated absmax; the
         # Trainer also recalibrates at every epoch start because the
         # PEFT deltas drift the frozen tower's layer-input ranges

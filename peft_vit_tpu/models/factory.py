@@ -287,6 +287,17 @@ def build_image_classifier(
     # backward (ops/int8.py int8_matmul_bf16_bwd); PEFT deltas, head, and
     # every gradient stay bf16/fp32
     int8_train = bool(cfg.TPU.get("INT8_FWD_TRAIN", False))
+    int8_attn = bool(cfg.TPU.get("INT8_ATTN", False))
+    int8_attn_pv = bool(cfg.TPU.get("INT8_ATTN_PV", False))
+    if int8_attn and not (
+        int8_train and bool(cfg.TPU.get("INT8_STATIC_ACT", False))
+    ):
+        raise ValueError(
+            "TPU.INT8_ATTN quantizes the attention operands with "
+            "statically calibrated scales: set TPU.INT8_FWD_TRAIN=True "
+            "and TPU.INT8_STATIC_ACT=True (the calibration pass that "
+            "produces them) to use it"
+        )
     int8_targets = tuple(
         cfg.TPU.get(
             "INT8_TARGETS", ["in_proj", "out_proj", "c_fc", "c_proj"]
@@ -432,6 +443,8 @@ def build_image_classifier(
                 ln_fp32=ln_fp32,
                 int8=int8,
                 int8_train=int8_train,
+                int8_attn=int8_attn,
+                int8_attn_pv=int8_attn_pv,
                 int8_targets=int8_targets,
                 patch_gemm=patch_gemm,
                 act_sharding=act_sharding,
@@ -604,6 +617,8 @@ def build_image_classifier(
                 ln_fp32=ln_fp32,
                 int8=int8,
                 int8_train=int8_train,
+                int8_attn=int8_attn,
+                int8_attn_pv=int8_attn_pv,
                 int8_targets=int8_targets,
                 patch_gemm=patch_gemm,
                 act_sharding=act_sharding,

@@ -320,6 +320,8 @@ class MultiHeadAttention(nn.Module):
     softmax_fp32: bool = True  # False = TPU.BF16_SOFTMAX fast path
     int8: bool = False  # int8 MXU GEMMs for in/out_proj (no-grad only)
     int8_bwd: bool = False  # differentiable int8 fwd (TPU.INT8_FWD_TRAIN)
+    int8_attn: bool = False  # QK^T dot on the int8 MXU (TPU.INT8_ATTN)
+    int8_attn_pv: bool = False  # ALSO the P@V dot (TPU.INT8_ATTN_PV; unstable)
     int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     attn_batch_chunk: int = 0  # lax.map attention slices (VMEM-resident)
     dtype: Dtype = jnp.float32
@@ -537,17 +539,49 @@ class MultiHeadAttention(nn.Module):
             bias = causal[None] if bias is None else bias + causal[None]
             bias = jnp.broadcast_to(bias, (h, n, n))
 
-        out = multi_head_attention(
-            qh,
-            kh,
-            vh,
-            bias=bias,
-            scale=attn_scale,
-            # True = auto (kernel for long sequences, XLA otherwise)
-            use_flash=None if self.use_flash else False,
-            softmax_fp32=self.softmax_fp32,
-            batch_chunk=self.attn_batch_chunk,
-        )
+        if self.int8_attn and self.is_mutable_collection("qstats"):
+            # calibration pass (TPU.INT8_ATTN, piggybacking the
+            # INT8_STATIC_ACT calibration): record the attention
+            # operands' absmax; the softmax output needs none (see
+            # ops/attention.int8_attention)
+            for nm, t in (("q", qh), ("k", kh), ("v", vh)):
+                self.sow(
+                    "qstats",
+                    f"amax_{nm}",
+                    jnp.max(jnp.abs(t.astype(jnp.float32))),
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                    reduce_fn=jnp.maximum,
+                )
+        if (
+            self.int8_attn
+            and bias is None
+            and self.has_variable("qscale", "s_q")
+        ):
+            from ..ops.attention import int8_attention
+
+            out = int8_attention(
+                qh,
+                kh,
+                vh,
+                self.get_variable("qscale", "s_q"),
+                self.get_variable("qscale", "s_k"),
+                self.get_variable("qscale", "s_v"),
+                float(attn_scale),
+                self.softmax_fp32,
+                self.int8_attn_pv,
+            )
+        else:
+            out = multi_head_attention(
+                qh,
+                kh,
+                vh,
+                bias=bias,
+                scale=attn_scale,
+                # True = auto (kernel for long sequences, XLA otherwise)
+                use_flash=None if self.use_flash else False,
+                softmax_fp32=self.softmax_fp32,
+                batch_chunk=self.attn_batch_chunk,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
 
         if spec.lepe:
@@ -601,6 +635,8 @@ class Block(nn.Module):
     # Targets the frozen tower's in/out_proj + MLP GEMMs — the PEFT
     # deltas and head keep dense bf16 math either way.
     int8_train: bool = False
+    int8_attn: bool = False  # TPU.INT8_ATTN: int8 QK^T dot
+    int8_attn_pv: bool = False  # TPU.INT8_ATTN_PV: int8 P@V too (unstable)
     int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK
     drop_path: float = 0.0
@@ -630,6 +666,8 @@ class Block(nn.Module):
             softmax_fp32=self.softmax_fp32,
             int8=int8,
             int8_bwd=int8_bwd,
+            int8_attn=self.int8_attn and int8_bwd,
+            int8_attn_pv=self.int8_attn_pv,
             int8_targets=self.int8_targets,
             attn_batch_chunk=self.attn_batch_chunk,
             name="attn",

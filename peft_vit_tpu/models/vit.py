@@ -62,6 +62,8 @@ class _BlockCell(nn.Module):
     ln_fp32: bool
     int8: bool
     int8_train: bool
+    int8_attn: bool
+    int8_attn_pv: bool
     int8_targets: tuple
     attn_batch_chunk: int
     dtype: Dtype
@@ -85,6 +87,8 @@ class _BlockCell(nn.Module):
             softmax_fp32=self.softmax_fp32,
             int8=self.int8,
             int8_train=self.int8_train,
+            int8_attn=self.int8_attn,
+            int8_attn_pv=self.int8_attn_pv,
             int8_targets=self.int8_targets,
             attn_batch_chunk=self.attn_batch_chunk,
             drop_path=0.0,
@@ -171,6 +175,14 @@ class VisionTransformer(nn.Module):
     # TPU.INT8_FWD_TRAIN: int8 GEMMs on training forwards with a
     # full-precision custom-vjp backward (QLoRA recipe, ops/int8.py)
     int8_train: bool = False
+    # TPU.INT8_ATTN: the QK^T and PV dots also ride the int8 MXU using
+    # statically-calibrated q/k/v scales (requires INT8_STATIC_ACT's
+    # calibration machinery; ops/attention.int8_attention)
+    int8_attn: bool = False
+    # TPU.INT8_ATTN_PV: quantize the P@V dot too — measured UNSTABLE
+    # in training (ops/attention.int8_attention docstring); opt-in
+    # for measurement only
+    int8_attn_pv: bool = False
     int8_targets: tuple = ("in_proj", "out_proj", "c_fc", "c_proj")
     patch_gemm: bool = False  # TPU.PATCH_EMBED_GEMM: patchify via MXU GEMM
     attn_batch_chunk: int = 0  # TPU.ATTN_BATCH_CHUNK: lax.map attention
@@ -367,6 +379,8 @@ class VisionTransformer(nn.Module):
                 self.ln_fp32,
                 self.int8,
                 self.int8_train,
+                self.int8_attn,
+                self.int8_attn_pv,
                 self.int8_targets,
                 self.attn_batch_chunk,
                 self.dtype,
@@ -413,6 +427,8 @@ class VisionTransformer(nn.Module):
                 softmax_fp32=self.softmax_fp32,
                 int8=self.int8,
                 int8_train=self.int8_train,
+                int8_attn=self.int8_attn,
+                int8_attn_pv=self.int8_attn_pv,
                 int8_targets=self.int8_targets,
                 attn_batch_chunk=self.attn_batch_chunk,
                 drop_path=float(dpr[i]),

@@ -132,6 +132,114 @@ def attention_bnhd(
 
 
 # ---------------------------------------------------------------------------
+# int8 attention scores (TPU.INT8_ATTN)
+# ---------------------------------------------------------------------------
+
+
+def _int8_attention_fwd_impl(q, k, v, s_q, s_k, s_v, scale, pv):
+    from .int8 import quantize_static
+
+    qi = quantize_static(q, s_q)
+    ki = quantize_static(k, s_k)
+    s = jax.lax.dot_general(
+        qi,
+        ki,
+        (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (B, H, N, M) exact int32
+    sf = s.astype(jnp.float32) * (s_q * s_k * jnp.float32(scale))
+    p = jax.nn.softmax(sf, axis=-1)
+    if not pv:
+        return jnp.einsum(
+            "bhnm,bhmd->bhnd", p.astype(v.dtype), v
+        ).astype(q.dtype)
+    # PV also int8 (TPU.INT8_ATTN_PV — measured UNSTABLE in training,
+    # see the class docstring): the softmax output lives in [0, 1], so
+    # scale 1/127 is exact and needs no calibration
+    vi = quantize_static(v, s_v)
+    pi = jnp.round(p * 127.0).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        pi,
+        vi,
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (B, H, N, D)
+    return (o.astype(jnp.float32) * (s_v / 127.0)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def int8_attention(q, k, v, s_q, s_k, s_v, scale, softmax_fp32=True,
+                   pv=False):
+    """Attention with the SCORE dot on the int8 MXU (TPU.INT8_ATTN).
+
+    The round-5 xprof puts the N=197 attention-score chains at 45.7
+    TF/s for 8.9% of the ViT-B/16 LoRA train step — the one GEMM class
+    the int8 recipe hadn't reached, because scores contract activations
+    with ACTIVATIONS, so no pre-quantizable weight exists.  The static
+    per-tensor activation scales (TPU.INT8_STATIC_ACT machinery) close
+    that gap: q and k get calibrated scales like every other layer
+    input, and QK^T runs int8 with exact int32 accumulation.
+
+    MEASURED NEGATIVE on chip (BASELINE.md round 5): on the full
+    ViT-B/16 LoRA train step this runs at 1,933 img/s vs the bf16-
+    attention baseline's 2,149 (-10%); +PV lands at 1,966 (-8.5%).
+    The N=197 score dots were never MXU-rate-bound — they are SHAPE-
+    bound (197 is 1.5 of a 128 tile), so halving the multiply width
+    buys nothing, while the quantize/rescale chains around the dots
+    and the int32 accumulator traffic ADD work and break XLA's fused
+    bf16 attention pattern.  Kept as a tested, documented negative
+    with the convergence analysis below; TPU.INT8_ATTN stays opt-in
+    and off the headline configuration.
+
+    ``pv=True`` (TPU.INT8_ATTN_PV) additionally quantizes the P @ V dot
+    (softmax output at the statically-exact 1/127 scale, v at its
+    calibrated scale).  MEASURED UNSTABLE in training: on the CI
+    convergence gate the run learns to loss 0.03 and then DIVERGES —
+    and the instability is attributable to the output noise itself,
+    not the int8 dots (injecting only the round-trip noise
+    ``round(p*127)/127`` or ``dequant(quant(v))`` into an otherwise
+    bf16 attention reproduces the divergence, while QK-only int8 is
+    stable at 100% accuracy through the same gate).  The attention
+    OUTPUT feeds the residual stream directly, so its noise compounds
+    across layers in a way the score-side noise (softmax renormalizes)
+    does not.  Kept as an opt-in experiment.
+
+    q, k, v: (B, H, N, D); s_q, s_k, s_v: calibrated f32 scalars
+    (activation_scales_from_stats); scale: the 1/sqrt(d) score scale.
+
+    Backward: the bf16-exact VJP of the reference attention on the
+    saved full-precision q, k, v — the same QLoRA-style asymmetry as
+    int8_matmul_bf16_bwd (quantization is a forward-only inference
+    detail; gradients see clean math).  Convergence-gated with the
+    other int8 paths in tests/test_int8_fwd_train.py.
+    """
+    return _int8_attention_fwd_impl(q, k, v, s_q, s_k, s_v, scale, pv)
+
+
+def _int8_attn_vjp_fwd(q, k, v, s_q, s_k, s_v, scale, softmax_fp32, pv):
+    out = _int8_attention_fwd_impl(q, k, v, s_q, s_k, s_v, scale, pv)
+    return out, (q, k, v)
+
+
+def _int8_attn_vjp_bwd(scale, softmax_fp32, pv, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(
+            q_, k_, v_, None, scale, softmax_fp32
+        ),
+        q,
+        k,
+        v,
+    )
+    dq, dk, dv = vjp(g)
+    z = jnp.zeros((), jnp.float32)
+    return dq, dk, dv, z, z, z
+
+
+int8_attention.defvjp(_int8_attn_vjp_fwd, _int8_attn_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Pallas flash-attention forward kernel
 # ---------------------------------------------------------------------------
 

@@ -420,14 +420,19 @@ def activation_scales_from_stats(stats, margin: float = 1.0) -> Any:
     flat = traverse_util.flatten_dict(stats)
     out = {}
     for path, leaf in flat.items():
-        if path[-1] != "amax":
+        if path[-1] == "amax":
+            s_name = "s_x"
+        elif path[-1].startswith("amax_"):
+            # attention operands (TPU.INT8_ATTN): amax_q -> s_q etc.
+            s_name = "s_" + path[-1][len("amax_"):]
+        else:
             continue
         amax = jnp.max(jnp.asarray(leaf))  # sow tuples -> scalar
         # margin > 1 leaves saturation headroom for activation drift
         # between recalibrations (the PEFT deltas feed the residual
         # stream, so even a frozen tower's layer inputs move as the
         # adapters train)
-        out[path[:-1] + ("s_x",)] = jnp.maximum(
+        out[path[:-1] + (s_name,)] = jnp.maximum(
             amax.astype(jnp.float32) * float(margin) / 127.0, 1e-8
         )
     return traverse_util.unflatten_dict(out)

